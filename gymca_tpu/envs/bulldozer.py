@@ -1,0 +1,283 @@
+"""ForestFireBulldozer — 256x256 windy wildfire-control task.
+
+Behavioral counterpart of reference ``forest_fire/bulldozer/bulldozer.py``:
+
+* cells ``0/3/25 = empty/tree/fire`` (values required by the windy
+  convolution encoding, ``bulldozer.py:87-89``);
+* wind dict -> 3x3 propagation-probability matrix (``bulldozer.py:299-316``);
+* initial grid ~ p_tree=0.90 / p_empty=0.10 with one fire seed around the
+  lower-left quadrant (+1/12-axis noise) and the bulldozer around the
+  upper-right (``bulldozer.py:221-275``);
+* time model ``t_any=0.001``, ``t_move=(1/(speed_move*scale))-t_any``,
+  ``t_shoot=(1/(speed_act*scale))-t_move`` with not_move/none costing 0
+  (``bulldozer.py:111-160, 277-297``);
+* MDP = RepeatCA(windy) then MoveModify (``bulldozer.py:393-400``);
+* reward ``-(f/(t+f))`` (``bulldozer.py:180-213``); terminates when no fire
+  remains (``bulldozer.py:215-216``).
+
+TPU-native differences (documented, intentional):
+* fully functional core (state pytree, explicit keys) — batch via vmap;
+* the fire/bulldozer placement noise is resampled *every* reset from the
+  state key (the reference caches the first sample forever,
+  ``bulldozer.py:246-248`` — a quirk, see QUIRKS.md);
+* the data-dependent CA repeat count runs as a statically-bounded masked loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gymca_tpu.config import TYPE_BOX, TYPE_INT
+from gymca_tpu.core.env import CAEnvCore, EnvState, GymCAEnv
+from gymca_tpu.core.operator import Operator
+from gymca_tpu.core.spaces import (
+    BoxSpec,
+    GridSpec,
+    MultiDiscreteSpec,
+    TupleSpec,
+)
+from gymca_tpu.ops.move_modify import (
+    DEFAULT_DIRECTIONS,
+    Modify,
+    Move,
+    MoveModify,
+)
+from gymca_tpu.ops.repeat_ca import RepeatCA
+from gymca_tpu.ops.windy import WindyForestFire
+
+__all__ = ["BulldozerCore", "ForestFireBulldozerEnv", "DEFAULT_WIND"]
+
+DEFAULT_WIND = {
+    "up_left": 0.48,
+    "up": 0.64,
+    "up_right": 0.98,
+    "left": 0.12,
+    "right": 0.64,
+    "down_left": 0.06,
+    "down": 0.12,
+    "down_right": 0.48,
+}
+
+
+def parse_wind(wind: dict) -> jnp.ndarray:
+    """Wind dict -> 3x3 matrix (reference bulldozer.py:299-316)."""
+    mat = jnp.asarray(
+        [
+            [wind["up_left"], wind["up"], wind["up_right"]],
+            [wind["left"], 0.0, wind["right"]],
+            [wind["down_left"], wind["down"], wind["down_right"]],
+        ],
+        dtype=TYPE_BOX,
+    )
+    assert bool(jnp.all((mat >= 0.0) & (mat <= 1.0))), (
+        "Bad Wind Data, check ranges [0.0, 1.0]"
+    )
+    return mat
+
+
+class BulldozerMDP(Operator):
+    """RepeatCA then MoveModify (reference bulldozer.py:378-400).
+
+    Context is a dict {wind, position, time, hit}; ``hit`` is produced by the
+    Modify suboperator and consumed by the env report.
+    """
+
+    grid_dependant = True
+    action_dependant = True
+    context_dependant = True
+    deterministic = False
+
+    def __init__(self, repeat_ca: RepeatCA, move_modify: MoveModify, **kwargs):
+        super().__init__(**kwargs)
+        self.repeat_ca = repeat_ca
+        self.move_modify = move_modify
+        self.suboperators = (repeat_ca, move_modify)
+
+    def update(self, grid, action, context, key=None):
+        k_ca, _ = jax.random.split(key)
+        grid, (wind, time) = self.repeat_ca(
+            grid, action, (context["wind"], context["time"]), k_ca
+        )
+        grid, (position, hit) = self.move_modify(grid, action, context["position"])
+        return grid, {"wind": wind, "position": position, "time": time, "hit": hit}
+
+
+class BulldozerCore(CAEnvCore):
+    """Functional windy-Bulldozer core."""
+
+    def __init__(
+        self,
+        nrows: int,
+        ncols: int,
+        speed_move: float = 0.12,
+        speed_act: float = 0.03,
+        pos_bull: Optional[Tuple[int, int]] = None,
+        pos_fire: Optional[Tuple[int, int]] = None,
+        t_move: Optional[float] = None,
+        t_shoot: Optional[float] = None,
+        t_any: float = 0.001,
+        p_tree: float = 0.90,
+        p_empty: float = 0.10,
+        wind: dict = None,
+    ):
+        self.nrows, self.ncols = nrows, ncols
+        self.title = f"ForestFireBulldozer{nrows}x{ncols}"
+
+        self._empty, self._tree, self._fire = 0, 3, 25
+        self._pos_bull = pos_bull
+        self._pos_fire = pos_fire
+        self._p_tree = p_tree
+        self._p_empty = p_empty
+        self._wind = parse_wind(wind or DEFAULT_WIND)
+        self._effects = {self._tree: self._empty}
+
+        # Time model (reference bulldozer.py:111-160)
+        scale = (nrows + ncols) // 2
+        self._t_env_any = t_any
+        self._t_act_none = 0.0
+        self._t_act_move = (1 / (speed_move * scale)) - t_any if t_move is None else t_move
+        self._t_act_shoot = (
+            (1 / (speed_act * scale)) - self._t_act_move if t_shoot is None else t_shoot
+        )
+
+        # Timing tables: not_move (4) and no-shoot (0) cost nothing
+        # (reference bulldozer.py:277-297).
+        move_t = [self._t_act_move] * 9
+        move_t[4] = self._t_act_none
+        shoot_t = [self._t_act_none, self._t_act_shoot]
+        self._move_timings = jnp.asarray(move_t, TYPE_BOX)
+        self._shoot_timings = jnp.asarray(shoot_t, TYPE_BOX)
+
+        max_step_time = self._t_act_move + self._t_act_shoot + t_any
+        max_repeats = int(math.ceil(max_step_time)) + 1
+
+        def t_acting(action):
+            return (
+                self._move_timings[action[..., 0]]
+                + self._shoot_timings[action[..., 1]]
+            )
+
+        def t_perception(state):
+            return jnp.asarray(self._t_env_any, TYPE_BOX)
+
+        self._set_specs()
+
+        self.ca = WindyForestFire(self._empty, self._tree, self._fire)
+        self.move = Move(DEFAULT_DIRECTIONS)
+        self.modify = Modify(self._effects)
+        self.move_modify = MoveModify(self.move, self.modify)
+        self.repeater = RepeatCA(
+            self.ca, t_acting, t_perception, max_repeats=max_repeats, mode="modf"
+        )
+        self._mdp = BulldozerMDP(self.repeater, self.move_modify)
+
+    # --- specs ---------------------------------------------------------------
+
+    def _set_specs(self):
+        nrows, ncols = self.nrows, self.ncols
+        self.grid_spec = GridSpec(
+            values=(self._empty, self._tree, self._fire), shape=(nrows, ncols)
+        )
+        self.ca_params_spec = BoxSpec(0.0, 1.0, shape=(3, 3))
+        self.position_spec = MultiDiscreteSpec((nrows, ncols))
+        self.time_spec = BoxSpec(0.0, float("inf"), shape=())
+        self.context_spec = TupleSpec(
+            (self.ca_params_spec, self.position_spec, self.time_spec)
+        )
+        self.action_spec = MultiDiscreteSpec((9, 2))
+        self.observation_spec = TupleSpec((self.grid_spec, self.context_spec))
+
+    @property
+    def mdp(self):
+        return self._mdp
+
+    # --- initial state ---------------------------------------------------------
+
+    def _noise(self, key, ax_len: int):
+        """1/12-axis placement noise (reference bulldozer.py:221-231)."""
+        upper = int(ax_len * (1 / 12))
+        if upper <= 0:
+            return jnp.asarray(0, TYPE_INT)
+        return jax.random.randint(key, (), 0, upper, dtype=TYPE_INT)
+
+    def initial_state(self, key) -> EnvState:
+        k_grid, k_fire_r, k_fire_c, k_bull_r, k_bull_c, k_carry = jax.random.split(
+            key, 6
+        )
+        grid_spec = GridSpec(
+            values=(self._empty, self._tree, self._fire),
+            probs=(self._p_empty, self._p_tree, 0.0),
+            shape=(self.nrows, self.ncols),
+        )
+        grid = grid_spec.sample(k_grid)
+
+        # Fire seed around the lower-left quadrant (bulldozer.py:244-252).
+        if self._pos_fire is None:
+            fr = 3 * self.nrows // 4 + self._noise(k_fire_r, self.nrows)
+            fc = 1 * self.ncols // 4 + self._noise(k_fire_c, self.ncols)
+        else:
+            fr, fc = self._pos_fire
+        grid = grid.at[fr, fc].set(self._fire)
+
+        # Bulldozer around the upper-right quadrant (bulldozer.py:255-267).
+        if self._pos_bull is None:
+            br = 1 * self.nrows // 4 + self._noise(k_bull_r, self.nrows)
+            bc = 3 * self.ncols // 4 + self._noise(k_bull_c, self.ncols)
+        else:
+            br, bc = self._pos_bull
+        position = jnp.stack(
+            [jnp.asarray(br, TYPE_INT), jnp.asarray(bc, TYPE_INT)]
+        )
+
+        context = {
+            "wind": self._wind,
+            "position": position,
+            "time": jnp.asarray(0.0, TYPE_BOX),
+            "hit": jnp.asarray(False),
+        }
+        return EnvState(
+            grid=grid,
+            context=context,
+            key=k_carry,
+            done=jnp.asarray(False),
+            steps_elapsed=jnp.asarray(0, TYPE_INT),
+            reward_accumulated=jnp.asarray(0.0, TYPE_BOX),
+        )
+
+    # --- reward / termination / report -----------------------------------------
+
+    def observe(self, state: EnvState):
+        c = state.context
+        return state.grid, (c["wind"], c["position"], c["time"])
+
+    def _award(self, grid, context):
+        """-(f / (t + f)) (reference bulldozer.py:180-213)."""
+        t = jnp.sum(grid == self._tree).astype(TYPE_BOX)
+        f = jnp.sum(grid == self._fire).astype(TYPE_BOX)
+        return -(f / jnp.maximum(t + f, 1.0))
+
+    def _is_done(self, grid, context):
+        return jnp.logical_not(jnp.any(grid == self._fire))
+
+    def _report(self, grid, context):
+        return {"hit": context["hit"]}
+
+
+class ForestFireBulldozerEnv(GymCAEnv):
+    """Classic gymnasium-API Bulldozer (drop-in for the reference env)."""
+
+    def __init__(self, nrows, ncols, seed: Optional[int] = None, **kwargs):
+        kwargs.pop("debug", None)
+        core = BulldozerCore(nrows, ncols, **kwargs)
+        super().__init__(core, seed=seed)
+        self.title = core.title
+        self._empty, self._tree, self._fire = core._empty, core._tree, core._fire
+
+    def render(self):
+        from gymca_tpu.utils.render import render_bulldozer
+
+        return render_bulldozer(self)
