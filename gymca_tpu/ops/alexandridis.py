@@ -1,0 +1,276 @@
+"""Alexandridis-et-al.-2008 wildfire CA with hidden terrain — the production
+physics of the Advanced Bulldozer environment.
+
+Behavioral counterpart of reference ``operators/ca_alexandridis_jax.py``:
+
+* burn probability  ``p = (heat - dousing) * (1+p_veg) * (1+p_den) * wind *
+  exp(0.078 * slope)`` with vegetation/density lookup tables
+  ``[-999,-0.1,0.2,0.5,0.8,1.2]`` / ``[-999,-0.2,0.2,0.5,0.8,1.2]``
+  (``ca_alexandridis_jax.py:164-206``);
+* ``heat`` = ring-decayed kernel of radius ``ceil(log2(N))-2`` over the fire
+  mask (``build_burn_kernel``, ``:108-153``);
+* dousing retardant = 5x5 weighted sum over ``dousing_count`` subtracted from
+  heat (``:64-105, 341-346``);
+* fire ages sampled in ``[1.5, 1.75] * (N + N/2)`` for new fires; fires burn
+  out at age <= 1 (``:59-61, 366-392``);
+* stochastic wind-index rotation with prob ``p_wind_change`` (``:443-451``);
+* optional pinecone spotting (vectorized; reference has it commented out of
+  the main path, ``:400-420`` — default OFF here for parity).
+
+TPU-native: the reference builds per-cell neighborhoods with a double-vmapped
+``lax.dynamic_slice`` over every cell (``:332-343``) — O(H*W) gathers.  Here
+the radius-1 ignition test is 8 shifted whole-grid masks and the heat /
+dousing fields are single ``lax.conv`` calls, which XLA maps onto the conv
+units directly.  Distributional semantics are identical (i.i.d. per-cell
+per-neighbor uniforms).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from gymca_tpu.config import TYPE_BOX, TYPE_INT
+from gymca_tpu.core.operator import Operator
+from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS, correlate2d, shift
+
+__all__ = ["AlexandridisCA", "build_burn_kernel", "build_dousing_weights",
+           "VEG_PROBS", "DEN_PROBS", "SLOPE_COEFF"]
+
+# Vegetation / density factor lookup tables; index 0 is a -999 sentinel
+# (ca_alexandridis_jax.py:169-173).
+VEG_PROBS = jnp.asarray([-999.0, -0.1, 0.2, 0.5, 0.8, 1.2], TYPE_BOX)
+DEN_PROBS = jnp.asarray([-999.0, -0.2, 0.2, 0.5, 0.8, 1.2], TYPE_BOX)
+SLOPE_COEFF = 0.078  # 'a' in exp(a * slope)
+
+
+def build_burn_kernel(burn_kernel_radius: int) -> jnp.ndarray:
+    """Ring-decayed heat kernel (ca_alexandridis_jax.py:108-153).
+
+    Total weight 0.065; each ring takes 60% of the remaining weight spread
+    over its cells (the innermost ring also covers the center), the last ring
+    takes everything left.
+    """
+    total_weight = 0.065
+    num_layers = burn_kernel_radius
+    layer_weights = []
+    remaining = total_weight
+    for i in range(num_layers):
+        size_outer = (i * 2 + 3) ** 2
+        inner_area = (i * 2 + 1) ** 2
+        cells = size_outer - inner_area
+        if i == 0:
+            cells += 1  # center shares the innermost ring weight
+        if i == num_layers - 1:
+            layer_weights.append(remaining / cells)
+        else:
+            layer_weights.append(remaining * 0.60 / cells)
+            remaining *= 0.40
+
+    size = 2 * burn_kernel_radius + 1
+    k = jnp.zeros((size, size), TYPE_BOX)
+    center = burn_kernel_radius
+    k = k.at[center, center].set(layer_weights[0])
+    for i in range(num_layers):
+        w = layer_weights[i]
+        ring = i + 1
+        s, e = center - ring, center + ring + 1
+        k = k.at[s:e, s].set(w)
+        k = k.at[s:e, e - 1].set(w)
+        k = k.at[s, s:e].set(w)
+        k = k.at[e - 1, s:e].set(w)
+    return k
+
+
+def build_dousing_weights(fire_age_max: float) -> jnp.ndarray:
+    """5x5 retardant kernel: border/inner weights scaled by the max fire age
+    (ca_alexandridis_jax.py:64-105)."""
+    border = 0.0007 * fire_age_max * 0.50
+    inner = 0.006 * fire_age_max * 0.50
+    k = jnp.full((5, 5), border, TYPE_BOX)
+    k = k.at[1:4, 1:4].set(inner)
+    return k
+
+
+class AlexandridisCA(Operator):
+    """Partially-observable wildfire CA over hidden terrain.
+
+    ``update(grid, action, (per_env_context, shared_context), key)`` ->
+    ``(new_grid, (new_per_env_context, shared_context))`` for ONE env;
+    callers vmap over the env axis.
+    """
+
+    grid_dependant = True
+    action_dependant = False
+    context_dependant = True
+    deterministic = False
+
+    def __init__(
+        self,
+        grid_size: int,
+        empty: int = 0,
+        tree: int = 1,
+        fire: int = 2,
+        enable_pinecones: bool = False,
+        max_pinecones: int = 5,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.grid_size = grid_size
+        self.empty, self.tree, self.fire = empty, tree, fire
+        self.enable_pinecones = enable_pinecones
+        self.max_pinecones = max_pinecones
+
+        # Fire lifetime model (ca_alexandridis_jax.py:58-61): in the time it
+        # takes to go halfway across and most of the way down, the fire
+        # builds up.
+        self.initial_spread_time = grid_size + grid_size // 2
+        self.fire_age_min = int(self.initial_spread_time * 1.5)
+        self.fire_age_max = int(self.initial_spread_time * 1.75)
+        self.burn_kernel_radius = max(math.ceil(math.log2(max(grid_size, 4))) - 2, 1)
+
+        self.burn_kernel = build_burn_kernel(self.burn_kernel_radius)
+        self.dousing_weights = build_dousing_weights(self.fire_age_max)
+
+    # --- pieces ------------------------------------------------------------
+
+    def _base_factor(self, vegetation, density, heat, dousing_retardant):
+        """(heat - dousing) * (1 + p_veg) * (1 + p_den), per cell."""
+        p_veg = VEG_PROBS[jnp.clip(vegetation, 1, 5)]
+        p_den = DEN_PROBS[jnp.clip(density, 1, 5)]
+        p_h = heat - dousing_retardant
+        return p_h * (1.0 + p_veg) * (1.0 + p_den)
+
+    def _ignitions(self, grid, base, wind_matrix, slope, key):
+        """Tree cells ignited by any fire neighbor passing its directional
+        burn test.  8 shifted masks; per-cell per-direction i.i.d. uniforms."""
+        h, w = grid.shape
+        u = jax.random.uniform(key, (8, h, w), dtype=TYPE_BOX)
+        ignite = jnp.zeros((h, w), bool)
+        for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+            fire_there = shift(grid, dr, dc, self.empty) == self.fire
+            p = (
+                base
+                * wind_matrix[1 + dr, 1 + dc]
+                * jnp.exp(SLOPE_COEFF * slope[..., 1 + dr, 1 + dc])
+            )
+            ignite = ignite | (fire_there & (u[d] < p))
+        return ignite
+
+    def _pinecone_spread(self, grid, key, per_env, ft, fire_mask):
+        """Vectorized pinecone spotting (ca_alexandridis_jax.py:229-319)."""
+        h, w = grid.shape
+        m = self.max_pinecones
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        n_pinecones = jnp.minimum(
+            jax.random.poisson(k1, 1.0, shape=(h, w)), m
+        )
+        directions = jax.random.randint(k2, (h, w, m), 0, 8)
+        thrust = 1.0 * jax.random.normal(k3, (h, w, m))
+
+        dx = jnp.asarray([1, 1, 0, -1, -1, -1, 0, 1])
+        dy = jnp.asarray([0, 1, 1, 1, 0, -1, -1, -1])
+        ft_lookup = jnp.asarray(
+            [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
+        )
+        fr = ft_lookup[directions][..., 0]
+        fc = ft_lookup[directions][..., 1]
+        thrust = thrust * ft[fr, fc]
+
+        rows = jnp.arange(h)[:, None, None]
+        cols = jnp.arange(w)[None, :, None]
+        new_rows = jnp.clip(jnp.round(rows + dx[directions] * thrust), 0, h - 1
+                            ).astype(TYPE_INT)
+        new_cols = jnp.clip(jnp.round(cols + dy[directions] * thrust), 0, w - 1
+                            ).astype(TYPE_INT)
+
+        pinecone_mask = fire_mask[:, :, None] & (
+            jnp.arange(m)[None, None, :] < n_pinecones[:, :, None]
+        )
+        p_veg = VEG_PROBS[jnp.clip(per_env["vegetation"], 1, 5)]
+        p_den = DEN_PROBS[jnp.clip(per_env["density"], 1, 5)]
+        probs = 0.48 * (1.0 + p_veg) * (1.0 + p_den)
+
+        u = jax.random.uniform(k4, (h, w, m))
+        landing = (grid[new_rows, new_cols] == self.tree) & pinecone_mask
+        burn = landing & (u < probs[new_rows, new_cols])
+        return new_rows.reshape(-1), new_cols.reshape(-1), burn.reshape(-1)
+
+    # --- main update ---------------------------------------------------------
+
+    def update(self, grid, action, context, key=None):
+        per_env, shared = context
+        wind_matrix = shared["winds"][per_env["wind_index"]]
+        ft = shared["fts"][per_env["wind_index"]]
+
+        k_burn, k_grow, k_age, k_wchange, k_widx, k_pine = jax.random.split(key, 6)
+
+        tree_mask = grid == self.tree
+        fire_mask = grid == self.fire
+        empty_mask = grid == self.empty
+
+        heat = correlate2d(fire_mask.astype(TYPE_BOX), self.burn_kernel)
+        dousing_ret = correlate2d(
+            per_env["dousing_count"].astype(TYPE_BOX), self.dousing_weights
+        )
+        base = self._base_factor(
+            per_env["vegetation"], per_env["density"], heat, dousing_ret
+        )
+        ignite = self._ignitions(grid, base, wind_matrix, per_env["slope"], k_burn)
+
+        u_grow = jax.random.uniform(k_grow, grid.shape, dtype=TYPE_BOX)
+        new_fire_ages = jax.random.randint(
+            k_age, grid.shape, self.fire_age_min, self.fire_age_max
+        ).astype(per_env["fire_age"].dtype)
+
+        # Rule cascade (ca_alexandridis_jax.py:379-392).
+        new_grid = jnp.where(
+            tree_mask & ignite,
+            self.fire,
+            jnp.where(
+                empty_mask & (u_grow < shared["p_tree"]),
+                self.tree,
+                jnp.where(
+                    fire_mask & (per_env["fire_age"] <= 1), self.empty, grid
+                ),
+            ),
+        ).astype(grid.dtype)
+
+        new_fire_age = jnp.where(
+            (new_grid == self.fire) & (grid != self.fire),
+            new_fire_ages,
+            per_env["fire_age"],
+        )
+
+        if self.enable_pinecones:
+            rows, cols, burn = self._pinecone_spread(
+                new_grid, k_pine, per_env, ft, fire_mask
+            )
+            pinecone_ages = jax.random.randint(
+                jax.random.fold_in(k_pine, 1), burn.shape, 4, 11
+            ).astype(new_fire_age.dtype)
+            new_grid = new_grid.at[rows, cols].set(
+                jnp.where(burn, self.fire, new_grid[rows, cols])
+            )
+            new_fire_age = new_fire_age.at[rows, cols].set(
+                jnp.where(burn, pinecone_ages, new_fire_age[rows, cols])
+            )
+
+        # Burning fires age (ca_alexandridis_jax.py:423).
+        new_fire_age = jnp.where(fire_mask, new_fire_age - 1, new_fire_age)
+
+        # Stochastic wind rotation (ca_alexandridis_jax.py:443-451).
+        wind_change = jax.random.uniform(k_wchange) < shared["p_wind_change"]
+        n_winds = shared["winds"].shape[0]
+        new_wind_index = jnp.where(
+            wind_change,
+            (per_env["wind_index"] + jax.random.randint(k_widx, (), 1, 8)) % n_winds,
+            per_env["wind_index"],
+        )
+
+        new_per_env = dict(per_env)
+        new_per_env["fire_age"] = new_fire_age
+        new_per_env["wind_index"] = new_wind_index
+        return new_grid, (new_per_env, shared)

@@ -1,0 +1,167 @@
+"""AdvancedForestFireBulldozer integration tests
+(counterpart of reference bulldozer/tests/test_advanced_bulldozer.py:29-126)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    return AdvancedForestFireBulldozerEnv(
+        16, 16, key=jax.random.key(0), num_envs=4, enable_extensions=True
+    )
+
+
+@pytest.fixture(scope="module")
+def reset_pair(env):
+    return env.reset()
+
+
+def idle_action(n, ext=0):
+    return jnp.tile(jnp.asarray([4, 0, ext], jnp.int32), (n, 1))
+
+
+class TestSpaces:
+    def test_action_space_shapes(self, env):
+        assert env.action_space.shape == (4, 2)
+        # + extension head with sum_{i<=k} C(n,i) = 1 + 2 = 3 choices
+        assert env.total_action_space.shape == (4, 3)
+        assert env.total_action_space.nvec[0].tolist() == [9, 2, 3]
+
+    def test_lookup_table_shapes(self, env):
+        assert env._extension_lookups[0].shape == (3, 2)
+
+
+class TestResetStep:
+    def test_reset_obs(self, env, reset_pair):
+        (rgb, ctx), info = reset_pair
+        assert rgb.shape == (4, 16, 16, 3)
+        assert set(ctx.keys()) == {
+            "per_env_context", "shared_context", "position", "time",
+        }
+        assert set(ctx["per_env_context"].keys()) == env.PER_ENV_CONTEXT_KEYS
+        # two-cell fire seed per env
+        tg = np.asarray(ctx["per_env_context"]["true_grid"])
+        assert all((tg[i] == 2).sum() == 2 for i in range(4))
+        # bulldozer at (0.15H, 0.85W)
+        assert np.asarray(ctx["position"]).tolist() == [[2, 13]] * 4
+
+    def test_step_contract(self, env, reset_pair):
+        obs, info = reset_pair
+        a = idle_action(4)
+        obs2, reward, term, trunc, info2 = env.stateless_step(a, obs, info)
+        assert obs2[0].shape == (4, 16, 16, 3)
+        assert reward.shape == (4,)
+        assert bool(jnp.all(reward <= 0))
+        assert not bool(term.any())
+        assert float(info2["steps_elapsed"][0]) == 1.0
+
+    def test_shoot_writes_dousing(self, env, reset_pair):
+        obs, info = reset_pair
+        a = jnp.tile(jnp.asarray([4, 1, 0], jnp.int32), (4, 1))  # shoot
+        step = env.stateless_step(a, obs, info)
+        dc = step[0][1]["per_env_context"]["dousing_count"]
+        assert int(dc.sum()) == 4  # one mark per env at the agent position
+        pos = np.asarray(step[0][1]["position"])
+        assert all(int(dc[i, pos[i, 0], pos[i, 1]]) == 1 for i in range(4))
+
+    def test_extension_channels_gate(self, env, reset_pair):
+        obs, info = reset_pair
+        # Track the extended grid through a manual MDP call on env 0
+        ctx = obs[1]
+        pe0 = jax.tree.map(lambda x: x[0], ctx["per_env_context"])
+        grid0 = pe0["true_grid"]
+        pos0 = ctx["position"][0]
+        # no extension: ext channels zero
+        rgb, ext = env.build_observation_on_extensions(
+            grid0, pos0, jnp.asarray([4, 0, 0, 0]), pe0, ctx["shared_context"]
+        )
+        assert ext.shape == (16, 16, 5)
+        assert float(jnp.abs(ext[..., 3:]).sum()) == 0.0
+        # unblur extension id 1 -> bits (1, 0): channel 3 nonzero
+        rgb, ext = env.build_observation_on_extensions(
+            grid0, pos0, jnp.asarray([4, 0, 1, 0]), pe0, ctx["shared_context"]
+        )
+        assert float(jnp.abs(ext[..., 3]).sum()) > 0.0
+        assert float(jnp.abs(ext[..., 4]).sum()) == 0.0
+        # during the day, unblur channel differs from the blurred base channel
+        assert not bool(jnp.array_equal(ext[..., 3], ext[..., 0]))
+
+    def test_full_actions_mapping(self, env):
+        action = jnp.asarray(
+            [[4, 0, 0], [4, 0, 1], [4, 0, 2], [4, 1, 2]], jnp.int32
+        )
+        full = env._create_full_actions(action)
+        assert full.shape == (4, 4)
+        assert full[:, 2:].tolist() == [[0, 0], [1, 0], [0, 1], [0, 1]]
+
+
+class TestAutoReset:
+    def test_conditional_reset_restores_fire(self, env, reset_pair):
+        obs, info = reset_pair
+        a = idle_action(4)
+        # kill all fire in env 0 to force termination
+        ctx = obs[1]
+        tg = ctx["per_env_context"]["true_grid"]
+        tg = tg.at[0].set(jnp.where(tg[0] == 2, 1, tg[0]))
+        ctx["per_env_context"]["true_grid"] = tg
+        obs = (obs[0], ctx)
+        step = env.stateless_step(a, obs, info)
+        assert bool(step[2][0])  # env 0 terminated
+        obs2, reward, term, trunc, info2 = env.conditional_reset(step, a)
+        assert not bool(term.any())
+        tg2 = np.asarray(obs2[1]["per_env_context"]["true_grid"])
+        assert (tg2[0] == 2).sum() == 2  # fresh fire seed
+        assert float(info2["steps_elapsed"][0]) == 0.0
+        # untouched envs keep their state
+        assert (tg2[1] == 2).sum() >= 1
+
+    def test_fresh_initial_states_differ(self, env, reset_pair):
+        """Auto-reset must resample (reference freezes at trace time)."""
+        obs, info = reset_pair
+        a = idle_action(4)
+        grids = []
+        for trial in range(2):
+            ctx = jax.tree.map(lambda x: x, obs[1])
+            tg = ctx["per_env_context"]["true_grid"]
+            tg = tg.at[0].set(jnp.where(tg[0] == 2, 1, tg[0]))
+            # change the per-env key between trials
+            ctx["per_env_context"]["key"] = jax.vmap(
+                lambda k: jax.random.fold_in(k, trial + 100)
+            )(ctx["per_env_context"]["key"])
+            ctx["per_env_context"]["true_grid"] = tg
+            step = env.stateless_step(a, (obs[0], ctx), info)
+            obs2, *_ = env.conditional_reset(step, a)
+            grids.append(np.asarray(obs2[1]["per_env_context"]["true_grid"][0]))
+        assert not np.array_equal(grids[0], grids[1])
+
+
+class TestRgb:
+    def test_day_night_palettes_differ(self, env, reset_pair):
+        obs, _ = reset_pair
+        ctx = obs[1]
+        pe0 = jax.tree.map(lambda x: x[0], ctx["per_env_context"])
+        grid0 = pe0["true_grid"]
+        pos0 = ctx["position"][0]
+        day = env._grid_to_rgb(grid0, jnp.asarray(0), pe0["dousing_count"], pos0)
+        night = env._grid_to_rgb(grid0, jnp.asarray(1), pe0["dousing_count"], pos0)
+        assert not bool(jnp.array_equal(day, night))
+        # position pixel black
+        assert float(day[pos0[0], pos0[1]].sum()) == 0.0
+
+    def test_dousing_tint(self, env, reset_pair):
+        obs, _ = reset_pair
+        ctx = obs[1]
+        pe0 = jax.tree.map(lambda x: x[0], ctx["per_env_context"])
+        grid0 = pe0["true_grid"]
+        pos0 = ctx["position"][0]
+        doused = pe0["dousing_count"].at[5, 5].set(1)
+        rgb = env._grid_to_rgb(grid0, jnp.asarray(0), doused, pos0)
+        base = env._grid_to_rgb(grid0, jnp.asarray(0), pe0["dousing_count"], pos0)
+        assert not bool(jnp.array_equal(rgb[5, 5], base[5, 5]))
+        # blue-dominant by day
+        assert float(rgb[5, 5, 2]) > float(rgb[5, 5, 0])
