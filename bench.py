@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate env-steps/s on ForestFireBulldozer256x256.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+* value: aggregate random-policy env-steps/s of the TPU-native vmapped
+  Bulldozer (full MDP: windy CA + RepeatCA + MoveModify + reward/done),
+  batched on one chip.
+* vs_baseline: ratio vs the reference's architecture on the same host — the
+  reference's NumPy/SciPy stack is single-env with no batching
+  (SURVEY.md §2.10), so its ceiling is one scipy-convolution env stepped in a
+  Python loop.  A faithful reimplementation of that step (scipy convolve2d +
+  threshold decode, ca_windy.py:41-139 semantics) is measured here as the
+  baseline.  Set GYMCA_BENCH_BASELINE_SPS to skip re-measuring.
+
+Env knobs: GYMCA_BENCH_SIZE (default 256), GYMCA_BENCH_ENVS (default 1024),
+GYMCA_BENCH_STEPS (default 30), --smoke for a tiny CPU-safe run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from gymca_tpu.envs.bulldozer import BulldozerCore
+
+    core = BulldozerCore(size, size)
+    key = jax.random.key(0)
+    keys = jax.random.split(key, num_envs)
+    states = jax.vmap(core.initial_state)(keys)
+
+    def body(carry, _):
+        states, key = carry
+        key, k_act = jax.random.split(key)
+        actions = jax.random.randint(k_act, (num_envs, 2), 0, 2, dtype=jnp.int32)
+        actions = actions.at[:, 0].set(
+            jax.random.randint(jax.random.fold_in(k_act, 1), (num_envs,), 0, 9)
+        )
+        states, out = jax.vmap(core.step)(states, actions)
+        return (states, key), out.reward.sum()
+
+    @jax.jit
+    def run(states, key):
+        (states, _), rewards = jax.lax.scan(body, (states, key), None, length=steps)
+        return states, rewards
+
+    # compile
+    states2, rewards = run(states, key)
+    jax.block_until_ready(rewards)
+    # timed
+    t0 = time.perf_counter()
+    states2, rewards = run(states, key)
+    jax.block_until_ready(rewards)
+    dt = time.perf_counter() - t0
+    return (num_envs * steps) / dt
+
+
+def measure_reference_style_numpy(size: int, seconds: float = 3.0) -> float:
+    """Reference-architecture baseline: single env, scipy conv + decode per
+    CA update, RepeatCA timing semantics (most steps run zero CA updates)."""
+    import math
+
+    from scipy.signal import convolve2d
+
+    rng = np.random.default_rng(0)
+    empty, tree, fire = 0, 3, 25
+    identity, propagation = 2**11, 2**3
+    grid = rng.choice([empty, tree, fire], size=(size, size),
+                      p=[0.099, 0.9, 0.001]).astype(np.int64)
+    wind = np.clip(rng.random((3, 3)), 0.05, 1.0)
+    keep_b = identity * tree
+    prop_b = identity * tree + propagation * fire
+    cons_b = identity * fire
+
+    scale = size
+    t_any = 0.001
+    t_move = 1 / (0.12 * scale) - t_any
+    t_shoot = 1 / (0.03 * scale) - t_move
+    accu = 0.0
+    pos = np.array([size // 4, 3 * size // 4])
+
+    def ca_step(grid):
+        roll = rng.random((3, 3))
+        kernel = np.where(wind > roll, propagation, empty)
+        kernel[1, 1] = identity
+        signal = convolve2d(grid, kernel, mode="same", boundary="fill",
+                            fillvalue=empty)
+        new = np.full_like(grid, empty)
+        new[(signal >= keep_b) & (signal < prop_b)] = tree
+        new[(signal >= prop_b) & (signal < cons_b)] = fire
+        new[signal >= cons_b] = empty
+        return new
+
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        move, shoot = rng.integers(0, 9), rng.integers(0, 2)
+        accu += (t_move if move != 4 else 0.0) + (t_shoot if shoot else 0.0) + t_any
+        frac, repeats = math.modf(accu)
+        accu = frac
+        for _ in range(int(repeats)):
+            grid = ca_step(grid)
+        # move/modify + reward bookkeeping
+        pos = np.clip(pos + rng.integers(-1, 2, 2), 0, size - 1)
+        if shoot and grid[pos[0], pos[1]] == tree:
+            grid[pos[0], pos[1]] = empty
+        t = (grid == tree).sum()
+        f = (grid == fire).sum()
+        _ = -(f / max(t + f, 1))
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    size = int(os.environ.get("GYMCA_BENCH_SIZE", 64 if smoke else 256))
+    num_envs = int(os.environ.get("GYMCA_BENCH_ENVS", 64 if smoke else 1024))
+    steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 30))
+
+    value = measure_tpu_native(size, num_envs, steps)
+
+    base_env = os.environ.get("GYMCA_BENCH_BASELINE_SPS")
+    if base_env:
+        baseline = float(base_env)
+    else:
+        baseline = measure_reference_style_numpy(size, seconds=1.0 if smoke else 3.0)
+    print(
+        f"[bench] tpu-native: {value:,.0f} steps/s | reference-style numpy "
+        f"single-env: {baseline:,.0f} steps/s",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"bulldozer{size}_env_steps_per_sec",
+        "value": round(value, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

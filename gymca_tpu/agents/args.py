@@ -1,0 +1,89 @@
+"""Training argument dataclasses (counterpart of reference agents/args.py)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class PPOArgs:
+    """PPO algorithm arguments (reference args.py:4-21)."""
+
+    learning_rate: float = 2.5e-4
+    anneal_lr: bool = True
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    num_minibatches: int = 4
+    update_epochs: int = 4
+    norm_adv: bool = True
+    clip_coef: float = 0.1
+    clip_vloss: bool = True
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    target_kl: Optional[float] = None
+
+
+@dataclass
+class EnvArgs:
+    """Environment configuration (reference args.py:23-34)."""
+
+    env_id: str = "AdvancedBulldozer"
+    num_envs: int = 8
+    size: int = 256
+    speed_move: float = 0.12
+    speed_multiplier: float = 1.0
+    use_hidden: bool = True
+    enable_extensions: bool = False
+
+
+@dataclass
+class VisualizationArgs:
+    """Recording arguments (reference args.py:36-45)."""
+
+    gif: bool = False
+    steps: int = 40
+    duration: float = 80
+    recording_times: int = 8
+    frames_per_recording: int = 8
+
+
+@dataclass
+class ExperimentArgs:
+    """Experiment setup (reference args.py:47-65)."""
+
+    exp_name: str = "ppo"
+    seed: int = 1
+    track: bool = False
+    device: int = 0
+    profile: bool = False
+    total_timesteps: int = 10_000_000
+    num_ppo_steps: int = 128
+    no_train: bool = False
+    params_path: Optional[str] = None
+    description: str = ""
+    conv_count: int = 3
+    maxpool_count: int = 2
+    checkpoint_every: int = 200
+    checkpoint_dir: Optional[str] = None
+    log_dir: Optional[str] = None
+
+
+@dataclass
+class Args:
+    """Main container with derived batch sizes (reference args.py:67-85)."""
+
+    ppo: PPOArgs = field(default_factory=PPOArgs)
+    env: EnvArgs = field(default_factory=EnvArgs)
+    viz: VisualizationArgs = field(default_factory=VisualizationArgs)
+    exp: ExperimentArgs = field(default_factory=ExperimentArgs)
+
+    batch_size: int = 0
+    minibatch_size: int = 0
+    num_iterations: int = 0
+
+    def __post_init__(self):
+        self.batch_size = self.env.num_envs * self.exp.num_ppo_steps
+        self.minibatch_size = self.batch_size // self.ppo.num_minibatches
+        self.num_iterations = self.exp.total_timesteps // max(self.batch_size, 1)

@@ -1,0 +1,562 @@
+"""PPO trainer — CleanRL-derived, fully on-device.
+
+Behavioral counterpart of reference ``agents/jax_ppo.py`` (rollout scan ->
+GAE reverse scan -> epoch/minibatch update scans, Gumbel action sampling,
+per-head categorical losses, in-jit episode statistics with a last-10 ring
+buffer and day/night extension-accuracy accounting).
+
+TPU-first redesign:
+
+* **One fused jit program per iteration** (`train_iteration`): rollout,
+  GAE and all update epochs compile into a single XLA program — the
+  reference crosses host<->device every iteration block and logs with
+  per-scalar ``.item()`` syncs (``jax_ppo.py:1385-1511``); here metrics leave
+  the device once per iteration as a single pytree.
+* **Full-state checkpointing**: params + optimizer state + env state + PRNG
+  key (the reference checkpoints params only, ``jax_ppo.py:1522-1527``, so
+  cannot truly resume).
+* Data-parallel scaling lives in ``gymca_tpu.parallel`` (mesh + shard_map);
+  this module is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from gymca_tpu.agents.args import Args
+from gymca_tpu.agents.networks import Actor, Critic, Network
+
+__all__ = ["Storage", "EpisodeStatistics", "PPOTrainer", "run_rollout_loop",
+           "load_actor"]
+
+RECENT = 10  # ring-buffer length (reference jax_ppo.py:488)
+
+
+@flax.struct.dataclass
+class Storage:
+    grid_obs: jnp.ndarray
+    position_obs: jnp.ndarray
+    actions: jnp.ndarray
+    logprobs: jnp.ndarray
+    dones: jnp.ndarray
+    values: jnp.ndarray
+    advantages: jnp.ndarray
+    returns: jnp.ndarray
+    rewards: jnp.ndarray
+
+
+@flax.struct.dataclass
+class EpisodeStatistics:
+    episode_returns: jnp.ndarray
+    episode_lengths: jnp.ndarray
+    returned_episode_returns: jnp.ndarray
+    returned_episode_lengths: jnp.ndarray
+    amount_finished: jnp.ndarray
+    recent_returns: jnp.ndarray
+    recent_lengths: jnp.ndarray
+    recent_idx: jnp.ndarray
+    current_day_correct: jnp.ndarray
+    current_night_correct: jnp.ndarray
+    current_day_steps: jnp.ndarray
+    current_night_steps: jnp.ndarray
+    recent_day_correct: jnp.ndarray
+    recent_night_correct: jnp.ndarray
+    recent_day_steps: jnp.ndarray
+    recent_night_steps: jnp.ndarray
+
+    @classmethod
+    def create(cls, num_envs: int) -> "EpisodeStatistics":
+        zf = lambda n: jnp.zeros(n, jnp.float32)
+        zi = lambda n: jnp.zeros(n, jnp.int32)
+        return cls(
+            episode_returns=zf(num_envs),
+            episode_lengths=zi(num_envs),
+            returned_episode_returns=zf(num_envs),
+            returned_episode_lengths=zi(num_envs),
+            amount_finished=jnp.asarray(0, jnp.int32),
+            recent_returns=zf(RECENT),
+            recent_lengths=zi(RECENT),
+            recent_idx=jnp.asarray(0, jnp.int32),
+            current_day_correct=zi(num_envs),
+            current_night_correct=zi(num_envs),
+            current_day_steps=zi(num_envs),
+            current_night_steps=zi(num_envs),
+            recent_day_correct=zi(RECENT),
+            recent_night_correct=zi(RECENT),
+            recent_day_steps=zi(RECENT),
+            recent_night_steps=zi(RECENT),
+        )
+
+
+def _ring_scatter(buffer, values, mask, recent_idx):
+    """Scatter ``values[mask]`` into a ring buffer starting at recent_idx.
+
+    Vectorized replacement for the reference's per-env lax.scan
+    (jax_ppo.py:541-611): finished envs get consecutive ring slots; a trash
+    slot absorbs the unfinished ones.
+    """
+    ranks = jnp.cumsum(mask) - 1
+    slots = jnp.where(mask, (recent_idx + ranks) % RECENT, RECENT)
+    extended = jnp.concatenate([buffer, buffer[:1]], axis=0)  # slot RECENT = trash
+    extended = extended.at[slots].set(values.astype(buffer.dtype))
+    return extended[:RECENT]
+
+
+class PPOTrainer:
+    """Owns the networks, optimizer, and the fused jitted train iteration.
+
+    ``env`` must expose the Advanced-env API: ``reset()``,
+    ``stateless_step(action, obs, info)``, ``conditional_reset(step, action)``,
+    ``total_action_space`` and ``extension_choices``.
+    """
+
+    def __init__(self, env, args: Args, key=None, axis_name: Optional[str] = None):
+        self.env = env
+        self.args = args
+        # When set, gradients/metrics are pmean'd over this mesh axis —
+        # used by gymca_tpu.parallel for shard_map data parallelism.
+        self.axis_name = axis_name
+        key = jax.random.key(args.exp.seed) if key is None else key
+        self.key, net_key, actor_key, critic_key = jax.random.split(key, 4)
+
+        action_nvec = np.asarray(env.total_action_space.nvec[0])
+        base_dims = action_nvec[:2].tolist()
+        self.n_action_heads = len(action_nvec)
+
+        self.network = Network(
+            conv_count=args.exp.conv_count, maxpool_count=args.exp.maxpool_count
+        )
+        self.actor = Actor(
+            action_dims=tuple(base_dims),
+            choose_k=tuple(env.extension_choices),
+        )
+        self.critic = Critic()
+
+        obs, _ = env.reset()
+        grid_sample = obs[0][:1]
+        network_params = self.network.init(net_key, grid_sample)
+        hidden = self.network.apply(network_params, grid_sample)
+        actor_params = self.actor.init(actor_key, hidden)
+        critic_params = self.critic.init(critic_key, hidden)
+
+        def linear_schedule(count):
+            # anneal after each (num_minibatches * update_epochs) grad updates
+            # (jax_ppo.py:677-702)
+            frac = 1.0 - (
+                count // (args.ppo.num_minibatches * args.ppo.update_epochs)
+            ) / max(args.num_iterations, 1)
+            return args.ppo.learning_rate * frac
+
+        self.agent_state = TrainState.create(
+            apply_fn=None,
+            params=flax.core.freeze(
+                {
+                    "network_params": network_params,
+                    "actor_params": actor_params,
+                    "critic_params": critic_params,
+                }
+            ),
+            tx=optax.chain(
+                optax.clip_by_global_norm(args.ppo.max_grad_norm),
+                optax.inject_hyperparams(optax.adam)(
+                    learning_rate=(
+                        linear_schedule if args.ppo.anneal_lr
+                        else args.ppo.learning_rate
+                    ),
+                    eps=1e-5,
+                ),
+            ),
+        )
+        self.param_counts = {
+            "network": sum(x.size for x in jax.tree.leaves(network_params)),
+            "actor": sum(x.size for x in jax.tree.leaves(actor_params)),
+            "critic": sum(x.size for x in jax.tree.leaves(critic_params)),
+        }
+
+        self.train_iteration = jax.jit(self._train_iteration)
+
+    # ----------------------------------------------------------- policy fns
+
+    def get_action_and_value(self, agent_state, obs, key):
+        """Sample per-head actions via the Gumbel trick (jax_ppo.py:866-899)."""
+        grid_obs, context = obs
+        hidden = self.network.apply(agent_state.params["network_params"], grid_obs)
+        logits_set = self.actor.apply(agent_state.params["actor_params"], hidden)
+
+        actions, logprobs = [], []
+        for logits in logits_set:
+            key, subkey = jax.random.split(key)
+            u = jax.random.uniform(subkey, logits.shape)
+            action = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)
+            logprob = jax.nn.log_softmax(logits)[
+                jnp.arange(action.shape[0]), action
+            ]
+            actions.append(action)
+            logprobs.append(logprob)
+        actions = jnp.stack(actions, axis=1).astype(jnp.int32)
+        logprobs = jnp.stack(logprobs, axis=1)
+        value = self.critic.apply(agent_state.params["critic_params"], hidden)
+        return actions, logprobs, value.squeeze(-1), key
+
+    def get_action_and_value2(self, params, x, action):
+        """Logprob/entropy/value of given actions (jax_ppo.py:901-930)."""
+        grid, position = x
+        hidden = self.network.apply(params["network_params"], grid)
+        logits_set = self.actor.apply(params["actor_params"], hidden)
+
+        logprobs, entropies = [], []
+        for i, logit in enumerate(logits_set):
+            act = action[:, i]
+            logprob = jax.nn.log_softmax(logit)[jnp.arange(act.shape[0]), act]
+            logits = logit - jax.scipy.special.logsumexp(logit, axis=-1,
+                                                         keepdims=True)
+            logits = logits.clip(min=jnp.finfo(logits.dtype).min)
+            p_log_p = logits * jax.nn.softmax(logits)
+            entropies.append(-p_log_p.sum(-1))
+            logprobs.append(logprob)
+        logprobs = jnp.stack(logprobs, axis=1)
+        entropies = jnp.stack(entropies, axis=1)
+        value = self.critic.apply(params["critic_params"], hidden).squeeze(-1)
+        return logprobs, entropies, value
+
+    # -------------------------------------------------------------- episode stats
+
+    def _update_episode_stats(self, stats, action, obs, next_info):
+        is_night = obs[1]["per_env_context"]["is_night"]
+        ext_action = action[:, -1]
+        # correct extension: see-invisible-fires (2) by day, unblur (1) by night
+        # (jax_ppo.py:524-531)
+        day_correct = ((1 - is_night) * (ext_action == 2)).astype(jnp.int32)
+        night_correct = (is_night * (ext_action == 1)).astype(jnp.int32)
+
+        new_return = stats.episode_returns + next_info["reward"]
+        new_length = stats.episode_lengths + 1
+        finished = (
+            next_info["terminated"] | next_info["TimeLimit.truncated"]
+        )
+
+        cur_day_correct = stats.current_day_correct + day_correct
+        cur_night_correct = stats.current_night_correct + night_correct
+        cur_day_steps = stats.current_day_steps + (1 - is_night).astype(jnp.int32)
+        cur_night_steps = stats.current_night_steps + is_night.astype(jnp.int32)
+
+        idx = stats.recent_idx
+        num_finished = jnp.sum(finished).astype(jnp.int32)
+        rs = partial(_ring_scatter, mask=finished, recent_idx=idx)
+        stats = stats.replace(
+            recent_returns=rs(stats.recent_returns, new_return),
+            recent_lengths=rs(stats.recent_lengths, new_length),
+            recent_day_correct=rs(stats.recent_day_correct, cur_day_correct),
+            recent_night_correct=rs(stats.recent_night_correct, cur_night_correct),
+            recent_day_steps=rs(stats.recent_day_steps, cur_day_steps),
+            recent_night_steps=rs(stats.recent_night_steps, cur_night_steps),
+            recent_idx=(idx + num_finished) % RECENT,
+            amount_finished=stats.amount_finished
+            + jnp.sum(next_info["terminated"]).astype(jnp.int32),
+            episode_returns=new_return * (1 - finished),
+            episode_lengths=(new_length * (1 - finished)).astype(jnp.int32),
+            returned_episode_returns=jnp.where(
+                finished, new_return, stats.returned_episode_returns
+            ),
+            returned_episode_lengths=jnp.where(
+                finished, new_length, stats.returned_episode_lengths
+            ).astype(jnp.int32),
+            current_day_correct=cur_day_correct * (1 - finished),
+            current_night_correct=cur_night_correct * (1 - finished),
+            current_day_steps=cur_day_steps * (1 - finished),
+            current_night_steps=cur_night_steps * (1 - finished),
+        )
+        return stats
+
+    # ----------------------------------------------------------------- rollout
+
+    def _step_once(self, carry, _):
+        agent_state, stats, obs, done, info, key = carry
+        action, logprob, value, key = self.get_action_and_value(
+            agent_state, obs, key
+        )
+        step_tuple = self.env.stateless_step(action, obs, info)
+        next_info = step_tuple[4]
+        stats = self._update_episode_stats(stats, action, obs, next_info)
+        next_obs, reward, next_done, _, next_info = self.env.conditional_reset(
+            step_tuple, action
+        )
+        storage = Storage(
+            grid_obs=obs[0],
+            position_obs=obs[1]["position"],
+            actions=action,
+            logprobs=logprob,
+            dones=done,
+            values=value,
+            rewards=reward,
+            returns=jnp.zeros_like(reward),
+            advantages=jnp.zeros_like(reward),
+        )
+        return (agent_state, stats, next_obs, next_done, next_info, key), storage
+
+    # -------------------------------------------------------------------- GAE
+
+    def _compute_gae(self, agent_state, next_obs, next_done, storage):
+        next_value = self.critic.apply(
+            agent_state.params["critic_params"],
+            self.network.apply(agent_state.params["network_params"], next_obs[0]),
+        ).squeeze(-1)
+
+        num_envs = storage.rewards.shape[1]
+        gamma, lam = self.args.ppo.gamma, self.args.ppo.gae_lambda
+
+        def gae_once(advantages, inp):
+            nextdone, nextvalues, curvalues, reward = inp
+            nextnonterminal = 1.0 - nextdone
+            delta = reward + gamma * nextvalues * nextnonterminal - curvalues
+            advantages = delta + gamma * lam * nextnonterminal * advantages
+            return advantages, advantages
+
+        dones = jnp.concatenate(
+            [storage.dones, next_done[None, :].astype(storage.dones.dtype)], axis=0
+        )
+        values = jnp.concatenate([storage.values, next_value[None, :]], axis=0)
+        _, advantages = jax.lax.scan(
+            gae_once,
+            jnp.zeros(num_envs),
+            (dones[1:].astype(jnp.float32), values[1:], values[:-1],
+             storage.rewards),
+            reverse=True,
+        )
+        return storage.replace(
+            advantages=advantages, returns=advantages + storage.values
+        )
+
+    # ------------------------------------------------------------------- update
+
+    def _ppo_loss(self, params, x, a, logp, mb_advantages, mb_returns, mb_values):
+        args = self.args
+        newlogprob, entropy, newvalue = self.get_action_and_value2(params, x, a)
+        logratio = newlogprob - logp
+        ratio = jnp.exp(logratio)
+        approx_kl = ((ratio - 1) - logratio).mean()
+
+        if args.ppo.norm_adv:
+            mb_advantages = (mb_advantages - mb_advantages.mean()) / (
+                mb_advantages.std() + 1e-8
+            )
+
+        pg_loss1 = -mb_advantages * ratio
+        pg_loss2 = -mb_advantages * jnp.clip(
+            ratio, 1 - args.ppo.clip_coef, 1 + args.ppo.clip_coef
+        )
+        pg_loss = jnp.maximum(pg_loss1, pg_loss2).mean()
+
+        if args.ppo.clip_vloss:
+            v_loss_unclipped = 0.5 * ((newvalue - mb_returns) ** 2).mean()
+            v_clipped = mb_values + jnp.clip(
+                newvalue - mb_values, -args.ppo.clip_coef, args.ppo.clip_coef
+            )
+            v_loss_clipped = (v_clipped - mb_returns) ** 2
+            v_loss = 0.5 * jnp.maximum(v_loss_unclipped, v_loss_clipped).mean()
+        else:
+            v_loss = 0.5 * ((newvalue - mb_returns) ** 2).mean()
+
+        entropy_loss = entropy.mean()
+        loss = (
+            pg_loss - args.ppo.ent_coef * entropy_loss
+            + v_loss * args.ppo.vf_coef
+        )
+        return loss, (pg_loss, v_loss, entropy_loss,
+                      jax.lax.stop_gradient(approx_kl))
+
+    def _update_ppo(self, agent_state, storage, key):
+        args = self.args
+        loss_grad_fn = jax.value_and_grad(self._ppo_loss, has_aux=True)
+
+        def update_epoch(carry, _):
+            agent_state, key = carry
+            key, subkey = jax.random.split(key)
+
+            def flatten(x):
+                return x.reshape((-1,) + x.shape[2:])
+
+            def convert_data(x):
+                x = jax.random.permutation(subkey, x)
+                return jnp.reshape(
+                    x, (args.ppo.num_minibatches, -1) + x.shape[1:]
+                )
+
+            flat = jax.tree.map(flatten, storage)
+            shuffled = jax.tree.map(convert_data, flat)
+            # advantages broadcast across the action heads (jax_ppo.py:1066-1072)
+            shuffled = shuffled.replace(
+                advantages=jnp.repeat(
+                    jnp.expand_dims(shuffled.advantages, axis=2),
+                    self.n_action_heads,
+                    axis=2,
+                )
+            )
+
+            def update_minibatch(agent_state, mb):
+                (loss, (pg_loss, v_loss, ent_loss, approx_kl)), grads = (
+                    loss_grad_fn(
+                        agent_state.params,
+                        (mb.grid_obs, mb.position_obs),
+                        mb.actions,
+                        mb.logprobs,
+                        mb.advantages,
+                        mb.returns,
+                        mb.values,
+                    )
+                )
+                if self.axis_name is not None:
+                    # data-parallel all-reduce over the mesh (rides ICI)
+                    grads = jax.lax.pmean(grads, self.axis_name)
+                    (loss, pg_loss, v_loss, ent_loss, approx_kl) = jax.lax.pmean(
+                        (loss, pg_loss, v_loss, ent_loss, approx_kl),
+                        self.axis_name,
+                    )
+                agent_state = agent_state.apply_gradients(grads=grads)
+                return agent_state, (loss, pg_loss, v_loss, ent_loss, approx_kl)
+
+            agent_state, metrics = jax.lax.scan(
+                update_minibatch, agent_state, shuffled
+            )
+            return (agent_state, key), metrics
+
+        (agent_state, key), metrics = jax.lax.scan(
+            update_epoch, (agent_state, key), (), length=args.ppo.update_epochs
+        )
+        loss, pg_loss, v_loss, ent_loss, approx_kl = metrics
+        return agent_state, {
+            "loss": loss[-1, -1],
+            "policy_loss": pg_loss[-1, -1],
+            "value_loss": v_loss[-1, -1],
+            "entropy_loss": ent_loss[-1, -1],
+            "approx_kl": approx_kl[-1, -1],
+        }, key
+
+    # --------------------------------------------------------------- iteration
+
+    def _train_iteration(self, agent_state, stats, obs, done, info, key):
+        """rollout -> GAE -> update, as ONE jitted program."""
+        (agent_state, stats, next_obs, next_done, next_info, key), storage = (
+            jax.lax.scan(
+                self._step_once,
+                (agent_state, stats, obs, done, info, key),
+                (),
+                length=self.args.exp.num_ppo_steps,
+            )
+        )
+        storage = self._compute_gae(agent_state, next_obs, next_done, storage)
+        agent_state, losses, key = self._update_ppo(agent_state, storage, key)
+
+        metrics = dict(losses)
+        metrics["episodic_return"] = stats.returned_episode_returns.mean()
+        metrics["episodic_length"] = stats.returned_episode_lengths.astype(
+            jnp.float32
+        ).mean()
+        metrics["games_finished"] = stats.amount_finished
+        metrics["recent_return"] = stats.recent_returns.mean()
+        metrics["recent_length"] = stats.recent_lengths.astype(jnp.float32).mean()
+        metrics["day_accuracy"] = stats.recent_day_correct.sum() / jnp.maximum(
+            stats.recent_day_steps.sum(), 1
+        )
+        metrics["night_accuracy"] = stats.recent_night_correct.sum() / jnp.maximum(
+            stats.recent_night_steps.sum(), 1
+        )
+        metrics["mean_reward"] = storage.rewards.mean()
+        return agent_state, stats, next_obs, next_done, next_info, key, metrics
+
+    # --------------------------------------------------------------------- train
+
+    def train(
+        self,
+        num_iterations: Optional[int] = None,
+        log_fn: Optional[Callable[[int, dict], None]] = None,
+        checkpoint_manager=None,
+    ):
+        """Python driver loop.  Returns (agent_state, history list)."""
+        args = self.args
+        num_iterations = num_iterations or args.num_iterations
+
+        obs, info = self.env.reset()
+        done = jnp.full(args.env.num_envs, False)
+        stats = EpisodeStatistics.create(args.env.num_envs)
+        agent_state, key = self.agent_state, self.key
+
+        history = []
+        start = time.time()
+        for iteration in range(1, num_iterations + 1):
+            agent_state, stats, obs, done, info, key, metrics = (
+                self.train_iteration(agent_state, stats, obs, done, info, key)
+            )
+            # single host sync per iteration
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            global_step = iteration * args.batch_size
+            metrics["global_step"] = global_step
+            metrics["SPS"] = int(global_step / max(time.time() - start, 1e-9))
+            history.append(metrics)
+            if log_fn is not None:
+                log_fn(iteration, metrics)
+            if (
+                checkpoint_manager is not None
+                and iteration % args.exp.checkpoint_every == 0
+            ):
+                checkpoint_manager.save_state(iteration, agent_state, key)
+
+        self.agent_state, self.key = agent_state, key
+        return agent_state, history
+
+
+def run_rollout_loop(env, args: Args, key=None, log_fn=None):
+    """Train PPO on ``env`` (counterpart of reference jax_ppo.py:419-1530)."""
+    trainer = PPOTrainer(env, args, key)
+    ckpt = None
+    if args.exp.checkpoint_dir:
+        from gymca_tpu.agents.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.exp.checkpoint_dir)
+    agent_state, history = trainer.train(
+        log_fn=log_fn or _default_log, checkpoint_manager=ckpt
+    )
+    return trainer, agent_state, history
+
+
+def _default_log(iteration, metrics):
+    print(
+        f"iter {iteration}: SPS={metrics['SPS']} "
+        f"return={metrics['episodic_return']:.3f} "
+        f"loss={metrics['loss']:.4f} kl={metrics['approx_kl']:.4f}"
+    )
+
+
+def load_actor(params_path: str, env):
+    """Restore the latest checkpoint and return a greedy policy
+    (counterpart of reference jax_ppo.py:1533-1641)."""
+    from gymca_tpu.agents.checkpoint import CheckpointManager
+
+    args = Args()
+    args.env.num_envs = env.num_envs
+    trainer = PPOTrainer(env, args)
+    ckpt = CheckpointManager(params_path)
+    agent_state, _ = ckpt.restore_state(trainer.agent_state, trainer.key)
+
+    network, actor = trainer.network, trainer.actor
+
+    @jax.jit
+    def get_action(obs_grid):
+        hidden = network.apply(agent_state.params["network_params"], obs_grid)
+        logits_set = actor.apply(agent_state.params["actor_params"], hidden)
+        return jnp.stack(
+            [jnp.argmax(l, axis=-1) for l in logits_set], axis=1
+        ).astype(jnp.int32)
+
+    return get_action

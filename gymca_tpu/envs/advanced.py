@@ -512,7 +512,8 @@ class AdvancedForestFireBulldozerEnv:
 
         next_done = jax.vmap(self._is_done)(next_true_grid)
         reward = jax.vmap(self._award)(next_true_grid)
-        truncated = jnp.full((self.num_envs,), False)
+        # shape-polymorphic over the env axis (works on shard-local batches)
+        truncated = jnp.full((next_true_grid.shape[0],), False)
 
         info = dict(info)
         info["reward"] = reward

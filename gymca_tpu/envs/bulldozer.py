@@ -152,8 +152,11 @@ class BulldozerCore(CAEnvCore):
         self._move_timings = jnp.asarray(move_t, TYPE_BOX)
         self._shoot_timings = jnp.asarray(shoot_t, TYPE_BOX)
 
+        # accu_time fraction carried is < 1, so repeats per step is at most
+        # floor(1 + max_step_time): 1 for big grids (step time ~0.13), more
+        # for small grids where per-step time exceeds one CA period.
         max_step_time = self._t_act_move + self._t_act_shoot + t_any
-        max_repeats = int(math.ceil(max_step_time)) + 1
+        max_repeats = max(int(math.floor(1.0 + max_step_time)), 1)
 
         def t_acting(action):
             return (

@@ -7,14 +7,18 @@ project test strategy (SURVEY.md §4).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this box's sitecustomize imports jax at interpreter startup, so
+# setting JAX_PLATFORMS via os.environ here is too late.  XLA_FLAGS is still
+# read lazily (at first backend init), and jax.config works after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402  (import after env vars)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
