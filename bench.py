@@ -39,6 +39,10 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
     keys = jax.random.split(key, num_envs)
     states = jax.vmap(core.initial_state)(keys)
 
+    # Fused sparse Pallas path when the grid supports it (one CA application
+    # per step + tile-aligned); falls back to vmapped XLA.
+    step = core.step_batched if core.supports_fused_step() else jax.vmap(core.step)
+
     def body(carry, _):
         states, key = carry
         key, k_act = jax.random.split(key)
@@ -46,7 +50,7 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
         actions = actions.at[:, 0].set(
             jax.random.randint(jax.random.fold_in(k_act, 1), (num_envs,), 0, 9)
         )
-        states, out = jax.vmap(core.step)(states, actions)
+        states, out = step(states, actions)
         return (states, key), out.reward.sum()
 
     @jax.jit
@@ -54,14 +58,20 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
         (states, _), rewards = jax.lax.scan(body, (states, key), None, length=steps)
         return states, rewards
 
-    # compile
+    # Compile, then absorb the first-call-after-compile overhead.  Timing
+    # must end on a host fetch: block_until_ready is not a reliable fence on
+    # tunneled single-chip setups.
     states2, rewards = run(states, key)
-    jax.block_until_ready(rewards)
-    # timed
+    _ = float(rewards[-1])
+    states2, rewards = run(states2, jax.random.fold_in(key, 1))
+    _ = float(rewards[-1])
+    reps = 3
     t0 = time.perf_counter()
-    states2, rewards = run(states, key)
-    jax.block_until_ready(rewards)
-    dt = time.perf_counter() - t0
+    s = states2
+    for i in range(reps):
+        s, rewards = run(s, jax.random.fold_in(key, 2 + i))
+    _ = float(rewards[-1])
+    dt = (time.perf_counter() - t0) / reps
     return (num_envs * steps) / dt
 
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from gymca_tpu.config import TYPE_BOX, TYPE_INT
-from gymca_tpu.core.env import CAEnvCore, EnvState, GymCAEnv
+from gymca_tpu.core.env import CAEnvCore, EnvState, GymCAEnv, StepOutput
 from gymca_tpu.core.operator import Operator
 from gymca_tpu.core.spaces import (
     BoxSpec,
@@ -45,6 +45,7 @@ from gymca_tpu.ops.move_modify import (
     Modify,
     Move,
     MoveModify,
+    move_position,
 )
 from gymca_tpu.ops.repeat_ca import RepeatCA
 from gymca_tpu.ops.windy import WindyForestFire
@@ -91,10 +92,12 @@ class BulldozerMDP(Operator):
     context_dependant = True
     deterministic = False
 
-    def __init__(self, repeat_ca: RepeatCA, move_modify: MoveModify, **kwargs):
+    def __init__(self, repeat_ca: RepeatCA, move_modify: MoveModify, tree: int,
+                 fire: int, **kwargs):
         super().__init__(**kwargs)
         self.repeat_ca = repeat_ca
         self.move_modify = move_modify
+        self.tree, self.fire = tree, fire
         self.suboperators = (repeat_ca, move_modify)
 
     def update(self, grid, action, context, key=None):
@@ -103,7 +106,16 @@ class BulldozerMDP(Operator):
             grid, action, (context["wind"], context["time"]), k_ca
         )
         grid, (position, hit) = self.move_modify(grid, action, context["position"])
-        return grid, {"wind": wind, "position": position, "time": time, "hit": hit}
+        # Cell counts ride in the context so reward/termination (and the
+        # sparse Pallas kernel's skipped steps) never re-reduce the grid.
+        return grid, {
+            "wind": wind,
+            "position": position,
+            "time": time,
+            "hit": hit,
+            "tree_count": jnp.sum(grid == self.tree).astype(TYPE_INT),
+            "fire_count": jnp.sum(grid == self.fire).astype(TYPE_INT),
+        }
 
 
 class BulldozerCore(CAEnvCore):
@@ -176,7 +188,9 @@ class BulldozerCore(CAEnvCore):
         self.repeater = RepeatCA(
             self.ca, t_acting, t_perception, max_repeats=max_repeats, mode="modf"
         )
-        self._mdp = BulldozerMDP(self.repeater, self.move_modify)
+        self._mdp = BulldozerMDP(
+            self.repeater, self.move_modify, self._tree, self._fire
+        )
 
     # --- specs ---------------------------------------------------------------
 
@@ -241,6 +255,8 @@ class BulldozerCore(CAEnvCore):
             "position": position,
             "time": jnp.asarray(0.0, TYPE_BOX),
             "hit": jnp.asarray(False),
+            "tree_count": jnp.sum(grid == self._tree).astype(TYPE_INT),
+            "fire_count": jnp.sum(grid == self._fire).astype(TYPE_INT),
         }
         return EnvState(
             grid=grid,
@@ -257,14 +273,132 @@ class BulldozerCore(CAEnvCore):
         c = state.context
         return state.grid, (c["wind"], c["position"], c["time"])
 
+    # --- fused batched step (Pallas) -------------------------------------------
+
+    def supports_fused_step(self) -> bool:
+        """The fused kernel covers the one-CA-application-per-step regime
+        (``max_repeats == 1`` — true for all registered grid sizes; tiny debug
+        grids where a step spans multiple CA periods fall back to vmap) and
+        needs tile-aligned grids for its Modify fast path."""
+        from gymca_tpu.ops.pallas_kernels import supports_sparse_kernel
+
+        return self.repeater.max_repeats == 1 and supports_sparse_kernel(
+            self.nrows, self.ncols
+        )
+
+    def step_batched(self, states: EnvState, actions, *, interpret: bool = False):
+        """Batched step over N envs via the fused Pallas kernel.
+
+        Bit-identical to ``jax.vmap(self.step)`` (same key derivation, same
+        integer stencil arithmetic, same float32 reward ops) but the whole
+        CA + Modify + reward-count pipeline runs as one single-pass VMEM
+        kernel (``gymca_tpu.ops.pallas_kernels.windy_fused_step``).
+        """
+        if not self.supports_fused_step():
+            return jax.vmap(self.step)(states, actions)
+
+        from gymca_tpu.ops.pallas_kernels import (
+            windy_fused_step,
+            windy_weights_from_roll,
+        )
+
+        # -- replicate the per-env key threading of step()/MDP/RepeatCA --
+        def derive(key):
+            carry, sub = jax.random.split(key)
+            k_ca, _ = jax.random.split(sub)
+            (k0,) = jax.random.split(k_ca, 1)
+            roll = jax.random.uniform(k0, (3, 3), dtype=jnp.float32)
+            return carry, roll
+
+        carry_keys, rolls = jax.vmap(derive)(states.key)
+
+        was_done = states.done
+        a_move = actions[..., 0]
+        a_shoot = actions[..., 1]
+
+        # -- RepeatCA timing (repeat_ca.py:57-64 semantics, max_repeats==1) --
+        time_taken = (
+            self._move_timings[a_move] + self._shoot_timings[a_shoot] + self._t_env_any
+        )
+        accu = states.context["time"] + time_taken
+        frac, repeats = jnp.modf(accu)
+        do_ca = (repeats >= 1.0) & jnp.logical_not(was_done)
+
+        # -- Move (deterministic scalar path) --
+        new_position = move_position(
+            states.context["position"], a_move, self.nrows, self.ncols,
+            self.move.drow, self.move.dcol,
+        )
+
+        weights = windy_weights_from_roll(self._wind, rolls)
+        shoot = a_shoot.astype(TYPE_INT) * jnp.logical_not(was_done).astype(TYPE_INT)
+        params = jnp.stack(
+            [
+                do_ca.astype(TYPE_INT),
+                new_position[..., 0].astype(TYPE_INT),
+                new_position[..., 1].astype(TYPE_INT),
+                shoot,
+                states.context["tree_count"].astype(TYPE_INT),
+                states.context["fire_count"].astype(TYPE_INT),
+            ],
+            axis=-1,
+        )
+
+        new_grid, counts = windy_fused_step(
+            states.grid,
+            weights,
+            params,
+            empty=self._empty,
+            tree=self._tree,
+            fire=self._fire,
+            interpret=interpret,
+        )
+        new_grid = new_grid.astype(states.grid.dtype)
+
+        t = counts[..., 0].astype(TYPE_BOX)
+        f = counts[..., 1].astype(TYPE_BOX)
+        hit = (counts[..., 2] > 0) & jnp.logical_not(was_done)
+
+        reward = jnp.where(
+            was_done, jnp.asarray(0.0, TYPE_BOX), -(f / jnp.maximum(t + f, 1.0))
+        )
+        done = jnp.logical_or(was_done, f == 0.0)
+
+        new_context = {
+            "wind": states.context["wind"],
+            "position": jnp.where(was_done[..., None], states.context["position"],
+                                  new_position),
+            "time": jnp.where(was_done, states.context["time"], frac.astype(TYPE_BOX)),
+            "hit": hit,
+            "tree_count": counts[..., 0].astype(TYPE_INT),
+            "fire_count": counts[..., 1].astype(TYPE_INT),
+        }
+        new_states = EnvState(
+            grid=new_grid,
+            context=new_context,
+            key=carry_keys,
+            done=done,
+            steps_elapsed=states.steps_elapsed + jnp.where(was_done, 0, 1),
+            reward_accumulated=states.reward_accumulated + reward,
+        )
+        out = StepOutput(
+            obs=self.observe(new_states),
+            reward=reward,
+            terminated=done,
+            truncated=jnp.zeros_like(done),
+            info={"hit": hit},
+        )
+        return new_states, out
+
     def _award(self, grid, context):
-        """-(f / (t + f)) (reference bulldozer.py:180-213)."""
-        t = jnp.sum(grid == self._tree).astype(TYPE_BOX)
-        f = jnp.sum(grid == self._fire).astype(TYPE_BOX)
+        """-(f / (t + f)) (reference bulldozer.py:180-213), from the counts
+        maintained in the context by the MDP."""
+        t = context["tree_count"].astype(TYPE_BOX)
+        f = context["fire_count"].astype(TYPE_BOX)
         return -(f / jnp.maximum(t + f, 1.0))
 
     def _is_done(self, grid, context):
-        return jnp.logical_not(jnp.any(grid == self._fire))
+        return context["fire_count"] == 0
 
     def _report(self, grid, context):
         return {"hit": context["hit"]}

@@ -1,0 +1,257 @@
+"""Pallas TPU kernels for the hot CA stencils.
+
+The reference's only "native" compute is scipy's C ``convolve2d``
+(``ca_windy.py:79-82``) and XLA's general conv.  The TPU-native equivalent
+here is a *sparse-update fused kernel* exploiting two facts XLA cannot:
+
+1. **Fusion** — one kernel computes: windy CA signal (8 rotated-view adds)
+   → threshold decode → masked agent Modify → tree/fire cell counts (for
+   reward & termination), so a CA step touches HBM exactly twice.
+
+2. **Real per-env branching** — under the Bulldozer time model the CA
+   advances only when the accumulated action time crosses 1.0 (reference
+   ``repeat_ca.py:40-43``; roughly once per ~7 agent steps at 256²), and
+   envs de-synchronize.  ``vmap``/XLA lowers per-env conditionals to
+   ``select`` (both sides always execute); a Pallas grid program handles ONE
+   env and *actually branches*: when the CA doesn't fire, the grid stays in
+   HBM untouched (input/output aliasing), and the only work is an optional
+   (8, 128)-tile read-modify-write for the bulldozer's Modify.  Cell counts
+   ride along in SMEM so skipped steps never re-reduce the grid.
+
+Semantics are bit-identical (integer arithmetic) to the XLA reference path in
+``gymca_tpu.ops.windy.windy_step`` — enforced by interpret-mode parity tests
+(``tests/test_pallas.py``) and re-checked on TPU by the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS
+from gymca_tpu.ops.windy import IDENTITY, PROPAGATION, windy_breaks
+
+__all__ = ["windy_fused_step", "windy_weights_from_roll"]
+
+# Weight vector index for each Moore offset.
+_WIDX = {offset: i for i, offset in enumerate(NEIGHBOR_OFFSETS)}
+
+# Modify tile (min int32 VMEM tile): sublane x lane.
+_TILE_R, _TILE_C = 8, 128
+
+
+def windy_weights_from_roll(wind: jnp.ndarray, roll: jnp.ndarray) -> jnp.ndarray:
+    """Per-update direction weights, one int32 per Moore offset.
+
+    ``wind`` (3, 3) propagation probabilities; ``roll`` (..., 3, 3) uniform
+    sample.  Offset ``(dr, dc)`` is gated by ``wind[1-dr, 1-dc] > roll[...]``
+    (the scipy ``convolve2d`` kernel-flip convention, matching
+    ``gymca_tpu.ops.windy.windy_step``).
+
+    Returns (..., 8) int32: PROPAGATION where the gust succeeded else 0,
+    in ``NEIGHBOR_OFFSETS`` order.
+    """
+    success = wind > roll  # (..., 3, 3)
+    cols = []
+    for dr, dc in NEIGHBOR_OFFSETS:
+        cols.append(
+            jnp.where(success[..., 1 - dr, 1 - dc], PROPAGATION, 0).astype(jnp.int32)
+        )
+    return jnp.stack(cols, axis=-1)
+
+
+def _ca_decode(signal, g, empty: int, tree: int, fire: int):
+    b = windy_breaks(empty, tree, fire)
+    return jnp.where(
+        signal >= b.consume,
+        empty,
+        jnp.where(
+            signal >= b.propagate,
+            fire,
+            jnp.where(signal >= b.keep, tree, empty),
+        ),
+    )
+
+
+def _banded_signal(g, w_ref, empty: int):
+    """Windy score via 3 row-shift bands x 3 column shifts (8 Mosaic-native
+    rolls + 8 shared-mask edge selects), accumulated eagerly to keep at most
+    two grid-sized temporaries live in VMEM."""
+    h, w = g.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    r_lt, r_ge = rows < h - 1, rows >= 1
+    c_lt, c_ge = cols < w - 1, cols >= 1
+
+    signal = IDENTITY * g
+    for dr in (1, 0, -1):
+        if dr == 1:  # band[r] = g[r+1]
+            band = jnp.where(r_lt, pltpu.roll(g, h - 1, 0), empty)
+        elif dr == -1:  # band[r] = g[r-1]
+            band = jnp.where(r_ge, pltpu.roll(g, 1, 0), empty)
+        else:
+            band = g
+        if dr != 0:
+            signal = signal + w_ref[0, 0, _WIDX[(dr, 0)]] * band
+        signal = signal + w_ref[0, 0, _WIDX[(dr, 1)]] * jnp.where(
+            c_lt, pltpu.roll(band, w - 1, 1), empty
+        )
+        signal = signal + w_ref[0, 0, _WIDX[(dr, -1)]] * jnp.where(
+            c_ge, pltpu.roll(band, 1, 1), empty
+        )
+    return signal, rows, cols
+
+
+def _windy_sparse_kernel(
+    grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
+    w_ref,  # (1, 1, 8) int32 SMEM — per-direction weights (0 or PROPAGATION)
+    p_ref,  # (1, 1, 8) int32 SMEM — [do_ca, row, col, shoot, tree_in, fire_in, 0, 0]
+    out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
+    cnt_ref,  # (1, 1, 4) int32 SMEM — [tree_count, fire_count, hit, 0]
+    g_vmem,  # (H, W) scratch
+    tile_vmem,  # (8, 128) scratch
+    sem_full,
+    sem_tile,
+    *,
+    empty: int,
+    tree: int,
+    fire: int,
+):
+    i = pl.program_id(0)
+    do_ca = p_ref[0, 0, 0]
+    row = p_ref[0, 0, 1]
+    col = p_ref[0, 0, 2]
+    shoot = p_ref[0, 0, 3]
+    tree_in = p_ref[0, 0, 4]
+    fire_in = p_ref[0, 0, 5]
+
+    @pl.when(do_ca > 0)
+    def _full_update():
+        cp_in = pltpu.make_async_copy(grid_hbm.at[i], g_vmem, sem_full)
+        cp_in.start()
+        cp_in.wait()
+        g = g_vmem[:].astype(jnp.int32)
+        signal, rows, cols = _banded_signal(g, w_ref, empty)
+        ca = _ca_decode(signal, g, empty, tree, fire)
+
+        tree_mask = ca == tree
+        hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
+        g_vmem[:] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
+        cp_out = pltpu.make_async_copy(g_vmem, out_hbm.at[i], sem_full)
+        cp_out.start()
+        cp_out.wait()
+
+        hit_i = jnp.sum(hit_arr.astype(jnp.int32))
+        cnt_ref[0, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
+        cnt_ref[0, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
+        cnt_ref[0, 0, 2] = hit_i
+        cnt_ref[0, 0, 3] = 0
+
+    @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
+    def _modify_only():
+        # One aligned (8, 128) tile read-modify-write around the agent cell;
+        # the rest of the grid never leaves HBM (out is aliased to in).
+        rt = pl.multiple_of((row // _TILE_R) * _TILE_R, _TILE_R)
+        ct = pl.multiple_of((col // _TILE_C) * _TILE_C, _TILE_C)
+        cp_in = pltpu.make_async_copy(
+            out_hbm.at[i, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)],
+            tile_vmem,
+            sem_tile,
+        )
+        cp_in.start()
+        cp_in.wait()
+        t = tile_vmem[:].astype(jnp.int32)
+        trs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 0) + rt
+        tcs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 1) + ct
+        hit_arr = (trs == row) & (tcs == col) & (t == tree)
+        tile_vmem[:] = jnp.where(hit_arr, empty, t).astype(tile_vmem.dtype)
+        cp_out = pltpu.make_async_copy(
+            tile_vmem,
+            out_hbm.at[i, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)],
+            sem_tile,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+        hit_i = jnp.sum(hit_arr.astype(jnp.int32))
+        cnt_ref[0, 0, 0] = tree_in - hit_i
+        cnt_ref[0, 0, 1] = fire_in
+        cnt_ref[0, 0, 2] = hit_i
+        cnt_ref[0, 0, 3] = 0
+
+    @pl.when(jnp.logical_and(do_ca == 0, shoot == 0))
+    def _no_op():
+        cnt_ref[0, 0, 0] = tree_in
+        cnt_ref[0, 0, 1] = fire_in
+        cnt_ref[0, 0, 2] = 0
+        cnt_ref[0, 0, 3] = 0
+
+
+def supports_sparse_kernel(h: int, w: int) -> bool:
+    """Tile-alignment gate for the sparse kernel's Modify fast path."""
+    return h % _TILE_R == 0 and w % _TILE_C == 0 and h >= _TILE_R and w >= _TILE_C
+
+
+@functools.partial(
+    jax.jit, static_argnames=("empty", "tree", "fire", "interpret")
+)
+def windy_fused_step(
+    grid: jnp.ndarray,  # (N, H, W) int
+    weights: jnp.ndarray,  # (N, 8) int32 — windy_weights_from_roll output
+    params: jnp.ndarray,  # (N, 6) int32 — [do_ca, row, col, shoot, tree_in, fire_in]
+    *,
+    empty: int,
+    tree: int,
+    fire: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse fused windy-CA + Modify + counts step over a batch of envs.
+
+    ``params[:, 4:6]`` carry the current (tree, fire) counts so skipped
+    steps don't re-reduce the grid.  Returns ``(new_grid (N, H, W),
+    counts (N, 4) int32)`` with counts columns ``[tree, fire, hit, 0]`` on
+    the post-update grid.  The grid buffer is aliased in→out: inside jit
+    (scan carries) the update is in-place; eager callers get a copy.
+    """
+    n, h, w = grid.shape
+    assert supports_sparse_kernel(h, w), (h, w)
+    kernel = functools.partial(
+        _windy_sparse_kernel, empty=empty, tree=tree, fire=fire
+    )
+    pad8 = jnp.zeros((n, 1, 8 - params.shape[-1]), jnp.int32)
+    params8 = jnp.concatenate([params[:, None, :].astype(jnp.int32), pad8], -1)
+    new_grid, counts = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w), grid.dtype),
+            jax.ShapeDtypeStruct((n, 1, 4), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), grid.dtype),
+            pltpu.VMEM((_TILE_R, _TILE_C), grid.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=n * h * w * 6, bytes_accessed=n * h * w, transcendentals=0
+        ),
+        interpret=interpret,
+    )(grid, weights[:, None, :], params8)
+    return new_grid, counts[:, 0, :]

@@ -1,0 +1,174 @@
+"""Interpret-mode parity tests for the fused Pallas bulldozer kernel.
+
+The fused single-pass kernel (``ops/pallas_kernels.py``) must be bit-identical
+to the unfused XLA path: same integer stencil arithmetic as
+``windy_step`` (``ops/windy.py``), same key threading as
+``vmap(BulldozerCore.step)``.  These run the kernel in Pallas interpret mode
+on CPU; on TPU the same code compiles through Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymca_tpu.envs.bulldozer import BulldozerCore
+from gymca_tpu.ops.pallas_kernels import windy_fused_step, windy_weights_from_roll
+from gymca_tpu.ops.windy import PROPAGATION, windy_step
+
+N_ENVS = 3
+H, W = 16, 128  # small but TPU-tileable (float32/int32 tile = 8 x 128)
+
+
+@pytest.fixture(scope="module")
+def core():
+    return BulldozerCore(H, W)
+
+
+def test_supports_fused(core):
+    assert core.supports_fused_step()
+    assert not BulldozerCore(8, 8).supports_fused_step()
+
+
+def test_weights_from_roll_matches_windy_gating(key):
+    wind = jax.random.uniform(jax.random.fold_in(key, 1), (3, 3))
+    roll = jax.random.uniform(key, (3, 3))
+    weights = windy_weights_from_roll(wind, roll)
+    assert weights.shape == (8,)
+    assert set(np.asarray(weights).tolist()) <= {0, PROPAGATION}
+
+
+def test_kernel_matches_windy_step(key):
+    """Pure-CA parity: kernel with shoot=0, do_ca=1 == windy_step."""
+    empty, tree, fire = 0, 3, 25
+    k_grid, k_roll = jax.random.split(key)
+    grid = jax.random.choice(
+        k_grid, jnp.asarray([empty, tree, fire]), (N_ENVS, H, W)
+    ).astype(jnp.int32)
+    wind = jnp.full((3, 3), 0.7).at[1, 1].set(0.0)
+
+    rolls = jax.random.uniform(k_roll, (N_ENVS, 3, 3), dtype=jnp.float32)
+    expected = jax.vmap(
+        lambda g, k: windy_step(g, wind, k, empty=empty, tree=tree, fire=fire)
+    )(grid, jax.random.split(k_roll, N_ENVS))
+    # windy_step draws its own roll from the key; redo with explicit rolls for
+    # an apples-to-apples check instead:
+    keys = jax.random.split(k_roll, N_ENVS)
+    rolls = jax.vmap(lambda k: jax.random.uniform(k, (3, 3), dtype=jnp.float32))(keys)
+    weights = windy_weights_from_roll(wind, rolls)
+    params = jnp.tile(jnp.asarray([[1, 0, 0, 0, 0, 0]], jnp.int32), (N_ENVS, 1))
+    got, counts = windy_fused_step(
+        grid, weights, params, empty=empty, tree=tree, fire=fire, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    np.testing.assert_array_equal(
+        np.asarray(counts[:, 0]), np.asarray((expected == tree).sum((1, 2)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts[:, 1]), np.asarray((expected == fire).sum((1, 2)))
+    )
+
+
+def test_kernel_do_ca_zero_keeps_grid(key):
+    grid = jax.random.choice(key, jnp.asarray([0, 3, 25]), (2, H, W)).astype(
+        jnp.int32
+    )
+    weights = jnp.full((2, 8), PROPAGATION, jnp.int32)
+    params = jnp.tile(jnp.asarray([[0, 0, 0, 0, 0, 0]], jnp.int32), (2, 1))
+    got, _ = windy_fused_step(
+        grid, weights, params, empty=0, tree=3, fire=25, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(grid))
+
+
+def test_kernel_modify_hit(key):
+    """Shooting a tree cell (CA skipped) empties it and reports hit; counts
+    are carry-adjusted, not re-reduced."""
+    grid = jnp.full((1, H, W), 3, jnp.int32)  # all trees, no fire
+    weights = jnp.zeros((1, 8), jnp.int32)
+    params = jnp.asarray([[0, 5, 7, 1, H * W, 0]], jnp.int32)
+    got, counts = windy_fused_step(
+        grid, weights, params, empty=0, tree=3, fire=25, interpret=True
+    )
+    assert got[0, 5, 7] == 0
+    assert counts[0, 2] == 1  # hit
+    assert counts[0, 0] == H * W - 1  # trees
+    # shooting an (already emptied) cell: no hit, grid untouched
+    params = jnp.asarray([[0, 5, 7, 1, H * W - 1, 0]], jnp.int32)
+    got2, counts2 = windy_fused_step(
+        got, weights, params, empty=0, tree=3, fire=25, interpret=True
+    )
+    assert counts2[0, 2] == 0
+    assert counts2[0, 0] == H * W - 1
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
+
+
+def test_step_batched_parity_with_vmap_step(core, key):
+    """Full env-step parity: fused batched path == vmap(step), many steps."""
+    keys = jax.random.split(key, N_ENVS)
+    states_a = jax.vmap(core.initial_state)(keys)
+    states_b = states_a
+
+    step_vmap = jax.jit(jax.vmap(core.step))
+    step_fused = jax.jit(
+        lambda s, a: core.step_batched(s, a, interpret=True)
+    )
+
+    k_act = jax.random.fold_in(key, 99)
+    for i in range(12):
+        k_act, k1, k2 = jax.random.split(k_act, 3)
+        actions = jnp.stack(
+            [
+                jax.random.randint(k1, (N_ENVS,), 0, 9),
+                jax.random.randint(k2, (N_ENVS,), 0, 2),
+            ],
+            axis=-1,
+        )
+        states_a, out_a = step_vmap(states_a, actions)
+        states_b, out_b = step_fused(states_b, actions)
+
+        np.testing.assert_array_equal(
+            np.asarray(states_a.grid), np.asarray(states_b.grid), err_msg=f"step {i}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states_a.context["position"]),
+            np.asarray(states_b.context["position"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(states_a.context["time"]),
+            np.asarray(states_b.context["time"]),
+            rtol=0, atol=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.reward), np.asarray(out_b.reward)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.terminated), np.asarray(out_b.terminated)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.info["hit"]), np.asarray(out_b.info["hit"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(states_a.key)),
+            np.asarray(jax.random.key_data(states_b.key)),
+        )
+
+
+def test_step_batched_done_freeze(core, key):
+    """Finished envs: grid frozen, reward 0, counters frozen."""
+    keys = jax.random.split(key, 2)
+    states = jax.vmap(core.initial_state)(keys)
+    # Mark env 0 done
+    states = states.replace(done=jnp.asarray([True, False]))
+    actions = jnp.asarray([[5, 1], [5, 1]], jnp.int32)
+    new_states, out = core.step_batched(states, actions, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(new_states.grid[0]), np.asarray(states.grid[0])
+    )
+    assert float(out.reward[0]) == 0.0
+    assert bool(out.terminated[0])
+    assert int(new_states.steps_elapsed[0]) == int(states.steps_elapsed[0])
+    np.testing.assert_array_equal(
+        np.asarray(new_states.context["position"][0]),
+        np.asarray(states.context["position"][0]),
+    )
