@@ -634,10 +634,14 @@ class AdvancedForestFireBulldozerEnv:
 
     # ----------------------------------------------------------------- rendering
 
-    def render(self, mode="human"):  # pragma: no cover - host-side
+    def render(self, obs, info=None, env_idx: int = 0):  # pragma: no cover
+        """Render one env of the batch.  The env is stateless, so the caller
+        passes the (rgb, context) obs returned by reset()/stateless_step()
+        (the reference captures the same data per frame,
+        ``scripts/run:392-468``)."""
         from gymca_tpu.utils.render import render_advanced
 
-        return render_advanced(self)
+        return render_advanced(self, obs, info, env_idx)
 
     def altitude_render(self):  # pragma: no cover - host-side
         from gymca_tpu.utils.render import plot_grid_attribute
