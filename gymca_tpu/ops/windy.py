@@ -30,7 +30,13 @@ from gymca_tpu.core.operator import Operator
 from gymca_tpu.core.spaces import BoxSpec
 from gymca_tpu.ops.stencil import moore_shifts
 
-__all__ = ["WindyForestFire", "windy_step", "windy_breaks", "assert_windy_encoding"]
+__all__ = [
+    "WindyForestFire",
+    "windy_step",
+    "windy_step_from_success",
+    "windy_breaks",
+    "assert_windy_encoding",
+]
 
 # Convolution weights, magic variables (reference ca_windy.py:19-20).
 IDENTITY = 2**11
@@ -60,6 +66,30 @@ def assert_windy_encoding(empty: int, tree: int, fire: int) -> None:
     assert i * T + worst < i * F, "Propagate / Consume"
 
 
+def windy_step_from_success(grid, success, *, empty: int, tree: int, fire: int):
+    """Deterministic windy-CA update given the 3x3 gust-success mask.
+
+    Split out of :func:`windy_step` so spatially-sharded execution
+    (``gymca_tpu.parallel.spatial``) can apply the *same* global gust to
+    every grid shard.
+    """
+    signal = IDENTITY * grid.astype(jnp.int32)
+    for (dr, dc), view in moore_shifts(grid.astype(jnp.int32), empty):
+        w = jnp.where(success[1 - dr, 1 - dc], PROPAGATION, 0)
+        signal = signal + w * view
+
+    b = windy_breaks(empty, tree, fire)
+    return jnp.where(
+        signal >= b.consume,
+        empty,  # Consume: FIRE -> EMPTY
+        jnp.where(
+            signal >= b.propagate,
+            fire,  # Propagate: TREE -> FIRE
+            jnp.where(signal >= b.keep, tree, empty),  # Keep / Dead
+        ),
+    ).astype(grid.dtype)
+
+
 def windy_step(grid, wind, key, *, empty: int, tree: int, fire: int):
     """One windy-CA update.  Pure; (..., H, W) int grid in, same out.
 
@@ -69,23 +99,9 @@ def windy_step(grid, wind, key, *, empty: int, tree: int, fire: int):
     """
     roll = jax.random.uniform(key, (3, 3), dtype=jnp.float32)
     success = wind > roll  # failed propagation: wind <= roll
-
-    signal = IDENTITY * grid.astype(jnp.int32)
-    for (dr, dc), view in moore_shifts(grid.astype(jnp.int32), empty):
-        w = jnp.where(success[1 - dr, 1 - dc], PROPAGATION, 0)
-        signal = signal + w * view
-
-    b = windy_breaks(empty, tree, fire)
-    new_grid = jnp.where(
-        signal >= b.consume,
-        empty,  # Consume: FIRE -> EMPTY
-        jnp.where(
-            signal >= b.propagate,
-            fire,  # Propagate: TREE -> FIRE
-            jnp.where(signal >= b.keep, tree, empty),  # Keep / Dead
-        ),
-    ).astype(grid.dtype)
-    return new_grid
+    return windy_step_from_success(
+        grid, success, empty=empty, tree=tree, fire=fire
+    )
 
 
 class WindyForestFire(Operator):
