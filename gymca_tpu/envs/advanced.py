@@ -96,6 +96,7 @@ class AdvancedForestFireBulldozerEnv:
         "vegetation",
         "altitude",
         "slope",
+        "exp_slope",
         "fire_age",
         "key",
         "is_night",
@@ -170,6 +171,11 @@ class AdvancedForestFireBulldozerEnv:
         self._vegitation = vegetation  # (sic) reference attr spelling
         self._altitude = altitude
         self._slope = slope
+        # exp(0.078 * slope) is static terrain — hoist the transcendental out
+        # of the per-step burn test (8 full-grid exp passes otherwise).
+        from gymca_tpu.ops.alexandridis import AlexandridisCA as _ACA
+
+        self._exp_slope = _ACA.precompute_exp_slope(slope)
 
         # --- time model -------------------------------------------------------
         scale = (nrows + ncols) // 2
@@ -303,6 +309,7 @@ class AdvancedForestFireBulldozerEnv:
             "vegetation": self._vegitation,
             "altitude": self._altitude,
             "slope": self._slope,
+            "exp_slope": self._exp_slope,
             "fire_age": fire_ages,
             "key": carry_keys,
             "is_night": jnp.zeros(self.num_envs, TYPE_INT),
@@ -350,10 +357,18 @@ class AdvancedForestFireBulldozerEnv:
 
     def _grid_to_rgb(self, display_grid, is_night, dousing_count, position):
         """Palette render + dousing tint + agent pixel
-        (advanced_bulldozer.py:1035-1101).  ONE env."""
+        (advanced_bulldozer.py:1035-1101).  ONE env.
+
+        Table lookups / point writes are expressed as masked selects: TPU has
+        no vector gather/scatter, so ``palette[idx]`` and ``.at[pos].set``
+        lower to serial paths XLA can't fuse (measured several ms per step).
+        """
         palette = jnp.where(is_night > 0, NIGHT_PALETTE, DAY_PALETTE)
         idx = jnp.clip(display_grid.astype(TYPE_INT), 0, 2)
-        rgb = palette[idx]  # (H, W, 3)
+        # one-hot select instead of gather
+        rgb = jnp.zeros(idx.shape + (3,), TYPE_BOX)
+        for v in range(3):
+            rgb = jnp.where((idx == v)[..., None], palette[v], rgb)
 
         dousing_strength = jnp.where(dousing_count == 1, 0.75, 0.0)[..., None]
         water = jnp.where(is_night > 0, WATER_TINT_NIGHT, WATER_TINT_DAY)
@@ -362,7 +377,12 @@ class AdvancedForestFireBulldozerEnv:
             dousing_mask, rgb * (1 - dousing_strength) + water * dousing_strength, rgb
         )
         # position pixel: black in both palettes (advanced_bulldozer.py:44,50)
-        rgb = rgb.at[position[0], position[1]].set(0.0)
+        h, w = idx.shape
+        at_pos = (
+            (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 0) == position[0])
+            & (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 1) == position[1])
+        )
+        rgb = jnp.where(at_pos[..., None], 0.0, rgb)
         return rgb
 
     def _display_grid(self, extended_grid):
@@ -370,13 +390,17 @@ class AdvancedForestFireBulldozerEnv:
         (intent of advanced_bulldozer.py:1020-1033; see QUIRKS.md)."""
         base = extended_grid[..., 0]
         extensions = extended_grid[..., 3:]
-        if extensions.shape[-1] == 0:
+        k = extensions.shape[-1]
+        if k == 0:
             return base
         has_ext = jnp.any(extensions > 0, axis=(-3, -2))  # per channel
         first_valid = jnp.argmax(has_ext)
-        return jnp.where(
-            jnp.any(has_ext), extensions[..., first_valid], base
-        )
+        # static unrolled select instead of a dynamic minor-axis gather
+        out = base
+        any_ext = jnp.any(has_ext)
+        for c in range(k):
+            out = jnp.where(any_ext & (first_valid == c), extensions[..., c], out)
+        return out
 
     def build_observation_on_extensions(
         self, grid, position, full_action, per_env, shared

@@ -34,10 +34,16 @@ import jax.numpy as jnp
 
 from gymca_tpu.config import TYPE_BOX, TYPE_INT
 from gymca_tpu.core.operator import Operator
-from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS, correlate2d, shift
+from gymca_tpu.ops.stencil import (
+    NEIGHBOR_OFFSETS,
+    correlate2d,
+    multi_box_sums,
+    ring_kernel_filter,
+    shift,
+)
 
-__all__ = ["AlexandridisCA", "build_burn_kernel", "build_dousing_weights",
-           "VEG_PROBS", "DEN_PROBS", "SLOPE_COEFF"]
+__all__ = ["AlexandridisCA", "build_burn_kernel", "burn_kernel_layer_weights",
+           "build_dousing_weights", "VEG_PROBS", "DEN_PROBS", "SLOPE_COEFF"]
 
 # Vegetation / density factor lookup tables; index 0 is a -999 sentinel
 # (ca_alexandridis_jax.py:169-173).
@@ -46,8 +52,8 @@ DEN_PROBS = jnp.asarray([-999.0, -0.2, 0.2, 0.5, 0.8, 1.2], TYPE_BOX)
 SLOPE_COEFF = 0.078  # 'a' in exp(a * slope)
 
 
-def build_burn_kernel(burn_kernel_radius: int) -> jnp.ndarray:
-    """Ring-decayed heat kernel (ca_alexandridis_jax.py:108-153).
+def burn_kernel_layer_weights(burn_kernel_radius: int) -> list:
+    """Per-ring weights of the heat kernel (ca_alexandridis_jax.py:108-153).
 
     Total weight 0.065; each ring takes 60% of the remaining weight spread
     over its cells (the innermost ring also covers the center), the last ring
@@ -68,7 +74,14 @@ def build_burn_kernel(burn_kernel_radius: int) -> jnp.ndarray:
         else:
             layer_weights.append(remaining * 0.60 / cells)
             remaining *= 0.40
+    return layer_weights
 
+
+def build_burn_kernel(burn_kernel_radius: int) -> jnp.ndarray:
+    """Dense (2r+1)^2 heat kernel — reference form, used for differential
+    testing of the ring/box fast path."""
+    layer_weights = burn_kernel_layer_weights(burn_kernel_radius)
+    num_layers = burn_kernel_radius
     size = 2 * burn_kernel_radius + 1
     k = jnp.zeros((size, size), TYPE_BOX)
     center = burn_kernel_radius
@@ -132,7 +145,12 @@ class AlexandridisCA(Operator):
         self.burn_kernel_radius = max(math.ceil(math.log2(max(grid_size, 4))) - 2, 1)
 
         self.burn_kernel = build_burn_kernel(self.burn_kernel_radius)
+        self.burn_layer_weights = burn_kernel_layer_weights(self.burn_kernel_radius)
         self.dousing_weights = build_dousing_weights(self.fire_age_max)
+        # two-level 5x5 dousing kernel as box sums: border*box_2 +
+        # (inner-border)*box_1
+        self._dousing_border = 0.0007 * self.fire_age_max * 0.50
+        self._dousing_inner = 0.006 * self.fire_age_max * 0.50
 
     # --- pieces ------------------------------------------------------------
 
@@ -143,21 +161,32 @@ class AlexandridisCA(Operator):
         p_h = heat - dousing_retardant
         return p_h * (1.0 + p_veg) * (1.0 + p_den)
 
-    def _ignitions(self, grid, base, wind_matrix, slope, key):
+    def _ignitions(self, grid, base, wind_matrix, exp_slope, key):
         """Tree cells ignited by any fire neighbor passing its directional
-        burn test.  8 shifted masks; per-cell per-direction i.i.d. uniforms."""
+        burn test.  8 shifted masks; per-cell per-direction i.i.d. uniforms.
+
+        ``exp_slope``: (3, 3, H, W) precomputed ``exp(0.078 * slope)`` —
+        slope is static terrain, so the transcendental is hoisted out of the
+        step entirely (8 full-grid exp passes per step in the naive form),
+        and the direction-major layout makes each ``exp_slope[i, j]`` slice
+        contiguous instead of a stride-9 gather from (H, W, 3, 3).
+        """
         h, w = grid.shape
         u = jax.random.uniform(key, (8, h, w), dtype=TYPE_BOX)
         ignite = jnp.zeros((h, w), bool)
         for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
             fire_there = shift(grid, dr, dc, self.empty) == self.fire
-            p = (
-                base
-                * wind_matrix[1 + dr, 1 + dc]
-                * jnp.exp(SLOPE_COEFF * slope[..., 1 + dr, 1 + dc])
-            )
+            p = base * wind_matrix[1 + dr, 1 + dc] * exp_slope[1 + dr, 1 + dc]
             ignite = ignite | (fire_there & (u[d] < p))
         return ignite
+
+    @staticmethod
+    def precompute_exp_slope(slope: jnp.ndarray) -> jnp.ndarray:
+        """(..., H, W, 3, 3) slope tensor -> (..., 3, 3, H, W) exp factor."""
+        axes = tuple(range(slope.ndim - 4)) + tuple(
+            slope.ndim - 4 + i for i in (2, 3, 0, 1)
+        )
+        return jnp.exp(SLOPE_COEFF * jnp.transpose(slope, axes)).astype(TYPE_BOX)
 
     def _pinecone_spread(self, grid, key, per_env, ft, fire_mask):
         """Vectorized pinecone spotting (ca_alexandridis_jax.py:229-319)."""
@@ -211,14 +240,24 @@ class AlexandridisCA(Operator):
         fire_mask = grid == self.fire
         empty_mask = grid == self.empty
 
-        heat = correlate2d(fire_mask.astype(TYPE_BOX), self.burn_kernel)
-        dousing_ret = correlate2d(
-            per_env["dousing_count"].astype(TYPE_BOX), self.dousing_weights
+        # Ring/box integral-image filters instead of dense k x k convs: XLA
+        # lowers single-channel large-kernel convs to O(k^2) sliding-window
+        # VPU work (~100x slower measured); box sums are O(rings).
+        heat = ring_kernel_filter(
+            fire_mask.astype(TYPE_BOX), self.burn_layer_weights
+        )
+        dbox = multi_box_sums(per_env["dousing_count"].astype(TYPE_BOX), (1, 2))
+        dousing_ret = (
+            self._dousing_border * dbox[2]
+            + (self._dousing_inner - self._dousing_border) * dbox[1]
         )
         base = self._base_factor(
             per_env["vegetation"], per_env["density"], heat, dousing_ret
         )
-        ignite = self._ignitions(grid, base, wind_matrix, per_env["slope"], k_burn)
+        exp_slope = per_env.get("exp_slope")
+        if exp_slope is None:  # fallback for direct operator use
+            exp_slope = self.precompute_exp_slope(per_env["slope"])
+        ignite = self._ignitions(grid, base, wind_matrix, exp_slope, k_burn)
 
         u_grow = jax.random.uniform(k_grow, grid.shape, dtype=TYPE_BOX)
         new_fire_ages = jax.random.randint(

@@ -15,7 +15,14 @@ from typing import Iterator, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["shift", "neighbor_offsets", "correlate2d", "moore_shifts"]
+__all__ = [
+    "shift",
+    "neighbor_offsets",
+    "correlate2d",
+    "moore_shifts",
+    "multi_box_sums",
+    "ring_kernel_filter",
+]
 
 # The 8 Moore offsets, row-major order (matching a 3x3 kernel scan skipping
 # the center).
@@ -82,3 +89,55 @@ def correlate2d(grid: jnp.ndarray, kernel: jnp.ndarray, dtype=jnp.float32) -> jn
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out.reshape(batch_shape + (h, w))
+
+
+def multi_box_sums(x: jnp.ndarray, radii) -> dict:
+    """Chebyshev box sums ``{r: sum over the (2r+1)^2 window}`` for several
+    radii from ONE 2-D integral image (inclusive cumsum), zero boundary.
+
+    XLA lowers single-channel large-kernel convs pathologically on TPU
+    (O(k^2) sliding-window VPU work); a box sum is 4 shifted reads of the
+    cumsum regardless of radius, so an R-ring kernel costs O(R) cheap
+    whole-grid adds instead of a k x k conv.
+
+    Exact for integer-valued float inputs (counts stay < 2^24).
+    Accepts (..., H, W).
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    rmax = max(radii)
+    s = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    lead = [(0, 0)] * (x.ndim - 2)
+    # bottom/right: replicate (no mass beyond the grid); top/left: zeros
+    s = jnp.pad(s, lead + [(0, rmax), (0, rmax)], mode="edge")
+    s = jnp.pad(s, lead + [(rmax + 1, 0), (rmax + 1, 0)])
+    o = rmax + 1
+
+    def at(a: int, b: int):
+        return lax.slice_in_dim(
+            lax.slice_in_dim(s, o + a, o + a + h, axis=-2), o + b, o + b + w,
+            axis=-1,
+        )
+
+    return {
+        r: at(r, r) - at(-r - 1, r) - at(r, -r - 1) + at(-r - 1, -r - 1)
+        for r in radii
+    }
+
+
+def ring_kernel_filter(x: jnp.ndarray, layer_weights) -> jnp.ndarray:
+    """Correlate ``x`` with a square-ring kernel: weight ``layer_weights[i]``
+    on Chebyshev ring ``i+1`` (ring 1 also covering the center cell).
+
+    Telescopes into box sums:
+    ``sum_i w_i * (box_{i+1} - box_i) + w_0 * center
+      = sum_{j=1..R-1} (w_{j-1} - w_j) * box_j + w_{R-1} * box_R``.
+    Equivalent to ``correlate2d(x, build_burn_kernel-style kernel)`` up to
+    float summation order.
+    """
+    n = len(layer_weights)
+    radii = list(range(1, n + 1))
+    boxes = multi_box_sums(x, radii)
+    out = layer_weights[n - 1] * boxes[n]
+    for j in range(1, n):
+        out = out + (layer_weights[j - 1] - layer_weights[j]) * boxes[j]
+    return out
