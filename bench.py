@@ -133,7 +133,7 @@ def measure_reference_style_numpy(size: int, seconds: float = 3.0) -> float:
 def main():
     smoke = "--smoke" in sys.argv
     size = int(os.environ.get("GYMCA_BENCH_SIZE", 64 if smoke else 256))
-    num_envs = int(os.environ.get("GYMCA_BENCH_ENVS", 64 if smoke else 1024))
+    num_envs = int(os.environ.get("GYMCA_BENCH_ENVS", 64 if smoke else 4096))
     steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 30))
 
     value = measure_tpu_native(size, num_envs, steps)
