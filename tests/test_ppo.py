@@ -1,0 +1,186 @@
+"""PPO trainer tests: iteration contract, GAE vs numpy oracle, checkpoint
+round-trip, load_actor, determinism (SURVEY.md §4 gaps: the reference's JAX
+training stack has no dedicated unit tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymca_tpu.agents.args import (
+    Args,
+    EnvArgs,
+    ExperimentArgs,
+    PPOArgs,
+    VisualizationArgs,
+)
+from gymca_tpu.agents.ppo import EpisodeStatistics, PPOTrainer
+from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
+
+N_ENVS, SIZE = 4, 16
+
+
+def small_args(**exp_kw):
+    return Args(
+        ppo=PPOArgs(num_minibatches=2, update_epochs=2),
+        env=EnvArgs(num_envs=N_ENVS, size=SIZE),
+        viz=VisualizationArgs(),
+        exp=ExperimentArgs(
+            total_timesteps=N_ENVS * 8 * 4, num_ppo_steps=8, seed=3, **exp_kw
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def env():
+    return AdvancedForestFireBulldozerEnv(
+        SIZE, SIZE, key=jax.random.key(0), num_envs=N_ENVS
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer(env):
+    return PPOTrainer(env, small_args(), jax.random.key(1))
+
+
+def _carry(trainer, env):
+    obs, info = env.reset()
+    done = jnp.full(N_ENVS, False)
+    stats = EpisodeStatistics.create(N_ENVS)
+    return trainer.agent_state, stats, obs, done, info, trainer.key
+
+
+def test_train_iteration_contract(trainer, env):
+    st, stats, obs, done, info, key = _carry(trainer, env)
+    out = trainer.train_iteration(st, stats, obs, done, info, key)
+    st2, stats2, obs2, done2, info2, key2, metrics = out
+    for k in ("loss", "policy_loss", "value_loss", "entropy_loss", "approx_kl",
+              "episodic_return"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    leaves0 = jax.tree.leaves(st.params)
+    leaves1 = jax.tree.leaves(st2.params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+    assert int(st2.step) > int(st.step)
+
+
+def test_train_iteration_deterministic(trainer, env):
+    """Same carry -> bit-identical metrics (pure function)."""
+    carry = _carry(trainer, env)
+    m1 = trainer.train_iteration(*carry)[-1]
+    m2 = trainer.train_iteration(*carry)[-1]
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
+def test_gae_matches_numpy_oracle(trainer):
+    """GAE reverse scan == straightforward numpy recurrence."""
+    T, N = 6, N_ENVS
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(T, N)).astype(np.float32)
+    values = rng.normal(size=(T, N)).astype(np.float32)
+    dones = (rng.random((T, N)) < 0.2).astype(np.float32)
+    next_value = rng.normal(size=(N,)).astype(np.float32)
+    next_done = (rng.random(N) < 0.2).astype(np.float32)
+    gamma, lam = trainer.args.ppo.gamma, trainer.args.ppo.gae_lambda
+
+    # numpy oracle (CleanRL formulation)
+    adv = np.zeros((T, N), np.float32)
+    lastgaelam = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        if t == T - 1:
+            nextnonterminal = 1.0 - next_done
+            nextvalues = next_value
+        else:
+            nextnonterminal = 1.0 - dones[t + 1]
+            nextvalues = values[t + 1]
+        delta = rewards[t] + gamma * nextvalues * nextnonterminal - values[t]
+        lastgaelam = delta + gamma * lam * nextnonterminal * lastgaelam
+        adv[t] = lastgaelam
+
+    # drive the trainer's scan with the same quantities
+    from gymca_tpu.agents.ppo import Storage
+
+    storage = Storage(
+        grid_obs=jnp.zeros((T, N, 1)),
+        position_obs=jnp.zeros((T, N, 2)),
+        actions=jnp.zeros((T, N, 2), jnp.int32),
+        logprobs=jnp.zeros((T, N)),
+        dones=jnp.asarray(dones),
+        values=jnp.asarray(values),
+        rewards=jnp.asarray(rewards),
+        returns=jnp.zeros((T, N)),
+        advantages=jnp.zeros((T, N)),
+    )
+
+    def gae_once(advantages, inp):
+        nextdone, nextvalues, curvalues, reward = inp
+        nextnonterminal = 1.0 - nextdone
+        delta = reward + gamma * nextvalues * nextnonterminal - curvalues
+        advantages = delta + gamma * lam * nextnonterminal * advantages
+        return advantages, advantages
+
+    dd = jnp.concatenate([storage.dones, next_done[None]], axis=0)
+    vv = jnp.concatenate([storage.values, next_value[None]], axis=0)
+    _, advantages = jax.lax.scan(
+        gae_once, jnp.zeros(N),
+        (dd[1:].astype(jnp.float32), vv[1:], vv[:-1], storage.rewards),
+        reverse=True,
+    )
+    np.testing.assert_allclose(np.asarray(advantages), adv, rtol=2e-5, atol=2e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer, env):
+    from gymca_tpu.agents.checkpoint import CheckpointManager
+
+    st, stats, obs, done, info, key = _carry(trainer, env)
+    out = trainer.train_iteration(st, stats, obs, done, info, key)
+    st2, key2 = out[0], out[5]
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_state(7, st2, key2)
+    assert mgr.latest_step() == 7
+
+    restored, rkey = mgr.restore_state(trainer.agent_state, trainer.key)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(st2.step)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(rkey)),
+        np.asarray(jax.random.key_data(key2)),
+    )
+    mgr.close()
+
+
+def test_load_actor_greedy(tmp_path, trainer, env):
+    from gymca_tpu.agents.checkpoint import CheckpointManager
+    from gymca_tpu.agents.ppo import load_actor
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+    mgr.save_state(1, trainer.agent_state, trainer.key)
+    mgr.close()
+
+    get_action = load_actor(str(tmp_path / "ckpt2"), env)
+    obs, _ = env.reset()
+    a1 = get_action(obs[0])
+    a2 = get_action(obs[0])
+    assert a1.shape[0] == N_ENVS and a1.shape[1] >= 2
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # greedy
+    assert (np.asarray(a1)[:, 0] < 9).all() and (np.asarray(a1)[:, 1] < 2).all()
+
+
+def test_metrics_logger(tmp_path):
+    from gymca_tpu.utils.metrics import MetricsLogger, profile_trace
+
+    logger = MetricsLogger(log_dir=str(tmp_path / "runs"), run_name="t",
+                           config={"a": 1})
+    logger.log(1, {"loss": 0.5, "SPS": 100})
+    logger.close()
+    assert (tmp_path / "runs" / "t").exists()
+
+    with profile_trace(False):
+        pass  # no-op path
