@@ -134,7 +134,9 @@ def main():
     smoke = "--smoke" in sys.argv
     size = int(os.environ.get("GYMCA_BENCH_SIZE", 64 if smoke else 256))
     num_envs = int(os.environ.get("GYMCA_BENCH_ENVS", 64 if smoke else 4096))
-    steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 30))
+    # Long scans amortize the per-dispatch latency of tunneled single-chip
+    # setups (~27 ms/call measured) so the number reflects device throughput.
+    steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 120))
 
     value = measure_tpu_native(size, num_envs, steps)
 

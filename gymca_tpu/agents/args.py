@@ -65,6 +65,10 @@ class ExperimentArgs:
     description: str = ""
     conv_count: int = 3
     maxpool_count: int = 2
+    # Run the CNN torso in bfloat16 (params stay f32).  ~MXU-rate speedup on
+    # the conv-heavy update at 256^2 obs; off by default for float32 parity
+    # with the reference curves.
+    bf16_compute: bool = False
     checkpoint_every: int = 200
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None

@@ -135,7 +135,9 @@ class PPOTrainer:
         self.n_action_heads = len(action_nvec)
 
         self.network = Network(
-            conv_count=args.exp.conv_count, maxpool_count=args.exp.maxpool_count
+            conv_count=args.exp.conv_count,
+            maxpool_count=args.exp.maxpool_count,
+            compute_dtype=jnp.bfloat16 if args.exp.bf16_compute else jnp.float32,
         )
         self.actor = Actor(
             action_dims=tuple(base_dims),

@@ -78,10 +78,11 @@ def _ca_decode(signal, g, empty: int, tree: int, fire: int):
     )
 
 
-def _banded_signal(g, w_ref, empty: int):
+def _banded_signal(g, weights, empty: int):
     """Windy score via 3 row-shift bands x 3 column shifts (8 Mosaic-native
     rolls + 8 shared-mask edge selects), accumulated eagerly to keep at most
-    two grid-sized temporaries live in VMEM."""
+    two grid-sized temporaries live in VMEM.  ``weights``: sequence of 8
+    scalars in NEIGHBOR_OFFSETS order."""
     h, w = g.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -97,11 +98,11 @@ def _banded_signal(g, w_ref, empty: int):
         else:
             band = g
         if dr != 0:
-            signal = signal + w_ref[0, 0, _WIDX[(dr, 0)]] * band
-        signal = signal + w_ref[0, 0, _WIDX[(dr, 1)]] * jnp.where(
+            signal = signal + weights[_WIDX[(dr, 0)]] * band
+        signal = signal + weights[_WIDX[(dr, 1)]] * jnp.where(
             c_lt, pltpu.roll(band, w - 1, 1), empty
         )
-        signal = signal + w_ref[0, 0, _WIDX[(dr, -1)]] * jnp.where(
+        signal = signal + weights[_WIDX[(dr, -1)]] * jnp.where(
             c_ge, pltpu.roll(band, 1, 1), empty
         )
     return signal, rows, cols
@@ -109,87 +110,112 @@ def _banded_signal(g, w_ref, empty: int):
 
 def _windy_sparse_kernel(
     grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
-    w_ref,  # (1, 1, 8) int32 SMEM — per-direction weights (0 or PROPAGATION)
-    p_ref,  # (1, 1, 8) int32 SMEM — [do_ca, row, col, shoot, tree_in, fire_in, 0, 0]
+    w_ref,  # (B, 1, 8) int32 SMEM — per-direction weights (0 or PROPAGATION)
+    p_ref,  # (B, 1, 8) int32 SMEM — [do_ca, row, col, shoot, tree_in, fire_in, 0, 0]
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
-    cnt_ref,  # (1, 1, 4) int32 SMEM — [tree_count, fire_count, hit, 0]
+    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree_count, fire_count, hit, 0]
     g_vmem,  # (H, W) scratch
-    tile_vmem,  # (8, 128) scratch
+    tiles_vmem,  # (B, 8, 128) scratch — per-env Modify tiles
     sem_full,
-    sem_tile,
+    sem_tiles,  # DMA((B,))
     *,
     empty: int,
     tree: int,
     fire: int,
+    envs_per_program: int,
 ):
-    i = pl.program_id(0)
-    do_ca = p_ref[0, 0, 0]
-    row = p_ref[0, 0, 1]
-    col = p_ref[0, 0, 2]
-    shoot = p_ref[0, 0, 3]
-    tree_in = p_ref[0, 0, 4]
-    fire_in = p_ref[0, 0, 5]
+    """One grid program handles ``envs_per_program`` envs: per-env *real*
+    branching (skip / tile-modify / full CA), with the tiny Modify-tile DMAs
+    issued for the whole block up front so their latency overlaps."""
+    B = envs_per_program
+    base = pl.program_id(0) * B
 
-    @pl.when(do_ca > 0)
-    def _full_update():
-        cp_in = pltpu.make_async_copy(grid_hbm.at[i], g_vmem, sem_full)
-        cp_in.start()
-        cp_in.wait()
-        g = g_vmem[:].astype(jnp.int32)
-        signal, rows, cols = _banded_signal(g, w_ref, empty)
-        ca = _ca_decode(signal, g, empty, tree, fire)
+    def env_params(b):
+        return (
+            p_ref[b, 0, 0],  # do_ca
+            p_ref[b, 0, 1],  # row
+            p_ref[b, 0, 2],  # col
+            p_ref[b, 0, 3],  # shoot
+            p_ref[b, 0, 4],  # tree_in
+            p_ref[b, 0, 5],  # fire_in
+        )
 
-        tree_mask = ca == tree
-        hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
-        g_vmem[:] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
-        cp_out = pltpu.make_async_copy(g_vmem, out_hbm.at[i], sem_full)
-        cp_out.start()
-        cp_out.wait()
-
-        hit_i = jnp.sum(hit_arr.astype(jnp.int32))
-        cnt_ref[0, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
-        cnt_ref[0, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
-        cnt_ref[0, 0, 2] = hit_i
-        cnt_ref[0, 0, 3] = 0
-
-    @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
-    def _modify_only():
-        # One aligned (8, 128) tile read-modify-write around the agent cell;
-        # the rest of the grid never leaves HBM (out is aliased to in).
+    def tile_copy(b, row, col, inbound):
         rt = pl.multiple_of((row // _TILE_R) * _TILE_R, _TILE_R)
         ct = pl.multiple_of((col // _TILE_C) * _TILE_C, _TILE_C)
-        cp_in = pltpu.make_async_copy(
-            out_hbm.at[i, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)],
-            tile_vmem,
-            sem_tile,
-        )
-        cp_in.start()
-        cp_in.wait()
-        t = tile_vmem[:].astype(jnp.int32)
-        trs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 0) + rt
-        tcs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 1) + ct
-        hit_arr = (trs == row) & (tcs == col) & (t == tree)
-        tile_vmem[:] = jnp.where(hit_arr, empty, t).astype(tile_vmem.dtype)
-        cp_out = pltpu.make_async_copy(
-            tile_vmem,
-            out_hbm.at[i, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)],
-            sem_tile,
-        )
-        cp_out.start()
-        cp_out.wait()
+        hbm = out_hbm.at[base + b, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)]
+        vmem = tiles_vmem.at[b]
+        src, dst = (hbm, vmem) if inbound else (vmem, hbm)
+        return pltpu.make_async_copy(src, dst, sem_tiles.at[b])
 
-        hit_i = jnp.sum(hit_arr.astype(jnp.int32))
-        cnt_ref[0, 0, 0] = tree_in - hit_i
-        cnt_ref[0, 0, 1] = fire_in
-        cnt_ref[0, 0, 2] = hit_i
-        cnt_ref[0, 0, 3] = 0
+    # Phase A: start all Modify-tile reads (latency overlapped across envs).
+    for b in range(B):
+        do_ca, row, col, shoot, _, _ = env_params(b)
 
-    @pl.when(jnp.logical_and(do_ca == 0, shoot == 0))
-    def _no_op():
-        cnt_ref[0, 0, 0] = tree_in
-        cnt_ref[0, 0, 1] = fire_in
-        cnt_ref[0, 0, 2] = 0
-        cnt_ref[0, 0, 3] = 0
+        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
+        def _(b=b, row=row, col=col):
+            tile_copy(b, row, col, inbound=True).start()
+
+    # Phase B: per-env work.
+    for b in range(B):
+        do_ca, row, col, shoot, tree_in, fire_in = env_params(b)
+
+        @pl.when(do_ca > 0)
+        def _full_update(b=b, row=row, col=col, shoot=shoot):
+            cp_in = pltpu.make_async_copy(grid_hbm.at[base + b], g_vmem, sem_full)
+            cp_in.start()
+            cp_in.wait()
+            g = g_vmem[:].astype(jnp.int32)
+            ws = [w_ref[b, 0, i] for i in range(8)]
+            signal, rows, cols = _banded_signal(g, ws, empty)
+            ca = _ca_decode(signal, g, empty, tree, fire)
+
+            tree_mask = ca == tree
+            hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
+            g_vmem[:] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
+            cp_out = pltpu.make_async_copy(g_vmem, out_hbm.at[base + b], sem_full)
+            cp_out.start()
+            cp_out.wait()
+
+            hit_i = jnp.sum(hit_arr.astype(jnp.int32))
+            cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
+            cnt_ref[b, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
+            cnt_ref[b, 0, 2] = hit_i
+            cnt_ref[b, 0, 3] = 0
+
+        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
+        def _modify_only(b=b, row=row, col=col, tree_in=tree_in,
+                         fire_in=fire_in):
+            tile_copy(b, row, col, inbound=True).wait()
+            t = tiles_vmem[b].astype(jnp.int32)
+            rt = (row // _TILE_R) * _TILE_R
+            ct = (col // _TILE_C) * _TILE_C
+            trs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 0) + rt
+            tcs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 1) + ct
+            hit_arr = (trs == row) & (tcs == col) & (t == tree)
+            tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
+            tile_copy(b, row, col, inbound=False).start()
+
+            hit_i = jnp.sum(hit_arr.astype(jnp.int32))
+            cnt_ref[b, 0, 0] = tree_in - hit_i
+            cnt_ref[b, 0, 1] = fire_in
+            cnt_ref[b, 0, 2] = hit_i
+            cnt_ref[b, 0, 3] = 0
+
+        @pl.when(jnp.logical_and(do_ca == 0, shoot == 0))
+        def _no_op(b=b, tree_in=tree_in, fire_in=fire_in):
+            cnt_ref[b, 0, 0] = tree_in
+            cnt_ref[b, 0, 1] = fire_in
+            cnt_ref[b, 0, 2] = 0
+            cnt_ref[b, 0, 3] = 0
+
+    # Phase C: drain outbound tile writes.
+    for b in range(B):
+        do_ca, row, col, shoot, _, _ = env_params(b)
+
+        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
+        def _(b=b, row=row, col=col):
+            tile_copy(b, row, col, inbound=False).wait()
 
 
 def supports_sparse_kernel(h: int, w: int) -> bool:
@@ -220,22 +246,26 @@ def windy_fused_step(
     """
     n, h, w = grid.shape
     assert supports_sparse_kernel(h, w), (h, w)
+    # Envs per grid program: amortizes per-program overhead (~1us) and lets
+    # the block's Modify-tile DMAs overlap.
+    B = next(b for b in (8, 4, 2, 1) if n % b == 0)
     kernel = functools.partial(
-        _windy_sparse_kernel, empty=empty, tree=tree, fire=fire
+        _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
+        envs_per_program=B,
     )
     pad8 = jnp.zeros((n, 1, 8 - params.shape[-1]), jnp.int32)
     params8 = jnp.concatenate([params[:, None, :].astype(jnp.int32), pad8], -1)
     new_grid, counts = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, h, w), grid.dtype),
@@ -243,9 +273,9 @@ def windy_fused_step(
         ),
         scratch_shapes=[
             pltpu.VMEM((h, w), grid.dtype),
-            pltpu.VMEM((_TILE_R, _TILE_C), grid.dtype),
+            pltpu.VMEM((B, _TILE_R, _TILE_C), grid.dtype),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((B,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
