@@ -114,9 +114,9 @@ def _windy_sparse_kernel(
     p_ref,  # (B, 1, 8) int32 SMEM — [do_ca, row, col, shoot, tree_in, fire_in, 0, 0]
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
     cnt_ref,  # (B, 1, 4) int32 SMEM — [tree_count, fire_count, hit, 0]
-    g_vmem,  # (H, W) scratch
+    g_vmem,  # (B, H, W) scratch — per-env grid slots
     tiles_vmem,  # (B, 8, 128) scratch — per-env Modify tiles
-    sem_full,
+    sem_full,  # DMA((B,))
     sem_tiles,  # DMA((B,))
     *,
     empty: int,
@@ -148,7 +148,14 @@ def _windy_sparse_kernel(
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
         return pltpu.make_async_copy(src, dst, sem_tiles.at[b])
 
-    # Phase A: start all Modify-tile reads (latency overlapped across envs).
+    def grid_copy(b, slot, inbound):
+        hbm = grid_hbm.at[base + b] if inbound else out_hbm.at[base + b]
+        vmem = g_vmem.at[slot]
+        src, dst = (hbm, vmem) if inbound else (vmem, hbm)
+        return pltpu.make_async_copy(src, dst, sem_full.at[slot])
+
+    # Phase A: start all Modify-tile reads and the FIRST firing env's grid
+    # read (latency overlapped across the block).
     for b in range(B):
         do_ca, row, col, shoot, _, _ = env_params(b)
 
@@ -156,26 +163,29 @@ def _windy_sparse_kernel(
         def _(b=b, row=row, col=col):
             tile_copy(b, row, col, inbound=True).start()
 
-    # Phase B: per-env work.
+        @pl.when(do_ca > 0)
+        def _(b=b):
+            grid_copy(b, b, inbound=True).start()
+
+    # Phase B: per-env work.  Each env in the block owns a grid slot, so all
+    # firing envs' reads stream concurrently while earlier envs compute; the
+    # per-slot semaphore pairs each start with its wait in order (in-wait in
+    # Phase B, out-wait in Phase C).
     for b in range(B):
         do_ca, row, col, shoot, tree_in, fire_in = env_params(b)
 
         @pl.when(do_ca > 0)
         def _full_update(b=b, row=row, col=col, shoot=shoot):
-            cp_in = pltpu.make_async_copy(grid_hbm.at[base + b], g_vmem, sem_full)
-            cp_in.start()
-            cp_in.wait()
-            g = g_vmem[:].astype(jnp.int32)
+            grid_copy(b, b, inbound=True).wait()
+            g = g_vmem[b].astype(jnp.int32)
             ws = [w_ref[b, 0, i] for i in range(8)]
             signal, rows, cols = _banded_signal(g, ws, empty)
             ca = _ca_decode(signal, g, empty, tree, fire)
 
             tree_mask = ca == tree
             hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
-            g_vmem[:] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
-            cp_out = pltpu.make_async_copy(g_vmem, out_hbm.at[base + b], sem_full)
-            cp_out.start()
-            cp_out.wait()
+            g_vmem[b] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
+            grid_copy(b, b, inbound=False).start()
 
             hit_i = jnp.sum(hit_arr.astype(jnp.int32))
             cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
@@ -209,13 +219,17 @@ def _windy_sparse_kernel(
             cnt_ref[b, 0, 2] = 0
             cnt_ref[b, 0, 3] = 0
 
-    # Phase C: drain outbound tile writes.
+    # Phase C: drain outbound tile and grid writes.
     for b in range(B):
         do_ca, row, col, shoot, _, _ = env_params(b)
 
         @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
         def _(b=b, row=row, col=col):
             tile_copy(b, row, col, inbound=False).wait()
+
+        @pl.when(do_ca > 0)
+        def _(b=b):
+            grid_copy(b, b, inbound=False).wait()
 
 
 def supports_sparse_kernel(h: int, w: int) -> bool:
@@ -247,8 +261,14 @@ def windy_fused_step(
     n, h, w = grid.shape
     assert supports_sparse_kernel(h, w), (h, w)
     # Envs per grid program: amortizes per-program overhead (~1us) and lets
-    # the block's Modify-tile DMAs overlap.
-    B = next(b for b in (8, 4, 2, 1) if n % b == 0)
+    # the block's DMAs overlap.  Each env in the block owns a VMEM grid slot,
+    # so cap the block by a VMEM budget.
+    itemsize = jnp.dtype(grid.dtype).itemsize
+    vmem_budget = 4 * 1024 * 1024
+    B = next(
+        b for b in (8, 4, 2, 1)
+        if n % b == 0 and b * h * w * itemsize <= vmem_budget
+    )
     kernel = functools.partial(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
         envs_per_program=B,
@@ -272,9 +292,9 @@ def windy_fused_step(
             jax.ShapeDtypeStruct((n, 1, 4), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, w), grid.dtype),
+            pltpu.VMEM((B, h, w), grid.dtype),
             pltpu.VMEM((B, _TILE_R, _TILE_C), grid.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((B,)),
         ],
         input_output_aliases={0: 0},
