@@ -152,17 +152,35 @@ class AdvancedForestFireBulldozerEnv:
         self._day_length = 400
 
         # --- terrain (sampled once per env instance, like the reference) ----
-        k_terr, k_veg, k_den, k_alt = jax.random.split(key, 4)
+        # One jitted bundle: per-op eager dispatch on (num_envs, H, W, 3, 3)
+        # tensors is prohibitive on tunneled setups, and large host constants
+        # can exceed the remote-compile payload limit.
         winds, fts = terrain_mod.get_winds(use_hidden)
-        if use_hidden:
-            density = terrain_mod.init_density(k_den, nrows, ncols, num_envs)
-            vegetation = terrain_mod.init_vegetation(k_veg, nrows, ncols, num_envs)
-            altitude = terrain_mod.init_altitude(k_alt, nrows, ncols, num_envs)
-        else:
-            density = terrain_mod.init_density_same(nrows, ncols, num_envs)
-            vegetation = terrain_mod.init_vegetation_same(nrows, ncols, num_envs)
-            altitude = terrain_mod.init_altitude_same(nrows, ncols, num_envs)
-        slope = terrain_mod.get_slope(altitude)
+
+        def _terrain_bundle(k):
+            _, k_veg, k_den, k_alt = jax.random.split(k, 4)
+            if use_hidden:
+                density = terrain_mod.init_density(k_den, nrows, ncols, num_envs)
+                vegetation = terrain_mod.init_vegetation(
+                    k_veg, nrows, ncols, num_envs
+                )
+                altitude = terrain_mod.init_altitude(k_alt, nrows, ncols, num_envs)
+            else:
+                density = terrain_mod.init_density_same(nrows, ncols, num_envs)
+                vegetation = terrain_mod.init_vegetation_same(
+                    nrows, ncols, num_envs
+                )
+                altitude = terrain_mod.init_altitude_same(nrows, ncols, num_envs)
+            slope = terrain_mod.get_slope(altitude)
+            from gymca_tpu.ops.alexandridis import AlexandridisCA as _ACA
+
+            return density, vegetation, altitude, slope, _ACA.precompute_exp_slope(
+                slope
+            )
+
+        density, vegetation, altitude, slope, exp_slope = jax.jit(
+            _terrain_bundle
+        )(key)
 
         self._winds = winds  # (8, 3, 3)
         self._fts = fts  # (8, 3, 3)
@@ -171,11 +189,10 @@ class AdvancedForestFireBulldozerEnv:
         self._vegitation = vegetation  # (sic) reference attr spelling
         self._altitude = altitude
         self._slope = slope
-        # exp(0.078 * slope) is static terrain — hoist the transcendental out
-        # of the per-step burn test (8 full-grid exp passes otherwise).
-        from gymca_tpu.ops.alexandridis import AlexandridisCA as _ACA
-
-        self._exp_slope = _ACA.precompute_exp_slope(slope)
+        # exp(0.078 * slope) is static terrain — the transcendental is
+        # hoisted out of the per-step burn test (8 full-grid exp passes
+        # otherwise) and computed once in the terrain bundle above.
+        self._exp_slope = exp_slope
 
         # --- time model -------------------------------------------------------
         scale = (nrows + ncols) // 2
@@ -210,8 +227,19 @@ class AdvancedForestFireBulldozerEnv:
 
         self._set_spaces()
 
+        # Terrain bundle, passed as runtime args to jitted entry points so it
+        # is never baked into HLO as constants.
+        self._terrain_ctx = {
+            "density": self._density,
+            "vegetation": self._vegitation,
+            "altitude": self._altitude,
+            "slope": self._slope,
+            "exp_slope": self._exp_slope,
+        }
+
         # jitted entry points (self is static)
-        self.reset = jax.jit(self._reset_impl)
+        self._jit_reset = jax.jit(self._reset_impl)
+        self.reset = lambda key=None: self._jit_reset(self._terrain_ctx, key)
         self.stateless_step = jax.jit(self._step_impl)
         self.conditional_reset = jax.jit(self._conditional_reset_impl)
 
@@ -289,9 +317,16 @@ class AdvancedForestFireBulldozerEnv:
             "day_length": self._day_length,
         }
 
-    def initial_state(self, key=None):
-        """Batched initial (grid_stack, context).  Pure given ``key``."""
+    def initial_state(self, key=None, terrain=None):
+        """Batched initial (grid_stack, context).  Pure given ``key``.
+
+        ``terrain``: optional dict of the per-instance terrain tensors; when
+        jitting a caller, pass them as runtime arguments — closed-over arrays
+        get embedded in the compiled program as constants (hundreds of MB at
+        large ``num_envs``).
+        """
         key = self.starting_key if key is None else key
+        terrain = terrain if terrain is not None else self._terrain_ctx
         k_winds, k_envs = jax.random.split(key)
         env_keys = jax.random.split(k_envs, self.num_envs)
 
@@ -305,11 +340,7 @@ class AdvancedForestFireBulldozerEnv:
         carry_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(env_keys)
         per_env_context = {
             "wind_index": wind_index,
-            "density": self._density,
-            "vegetation": self._vegitation,
-            "altitude": self._altitude,
-            "slope": self._slope,
-            "exp_slope": self._exp_slope,
+            **terrain,
             "fire_age": fire_ages,
             "key": carry_keys,
             "is_night": jnp.zeros(self.num_envs, TYPE_INT),
@@ -548,8 +579,8 @@ class AdvancedForestFireBulldozerEnv:
 
         return (rgb, context), reward, next_done, truncated, info
 
-    def _reset_impl(self, key=None):
-        grid_stack, context = self.initial_state(key)
+    def _reset_impl(self, terrain, key=None):
+        grid_stack, context = self.initial_state(key, terrain)
         per_env = context["per_env_context"]
         rgb = jax.vmap(
             self.grid_to_rgb_with_extensions,

@@ -105,7 +105,19 @@ def multi_box_sums(x: jnp.ndarray, radii) -> dict:
     """
     h, w = x.shape[-2], x.shape[-1]
     rmax = max(radii)
-    s = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    if h >= 128 and w >= 128:
+        # 2-D inclusive cumsum as two triangular matmuls (MXU) — the
+        # log-step shuffle lowering of lax.cumsum on the lane axis is ~10x
+        # slower at these sizes.  Exact: integer-valued f32 accumulates
+        # exactly below 2^24.
+        lo_h = jnp.tril(jnp.ones((h, h), x.dtype))
+        up_w = jnp.triu(jnp.ones((w, w), x.dtype))
+        s = jnp.einsum(
+            "ij,...jk,kl->...il", lo_h, x, up_w,
+            preferred_element_type=x.dtype,
+        )
+    else:
+        s = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
     lead = [(0, 0)] * (x.ndim - 2)
     # bottom/right: replicate (no mass beyond the grid); top/left: zeros
     s = jnp.pad(s, lead + [(0, rmax), (0, rmax)], mode="edge")
