@@ -479,11 +479,31 @@ class PPOTrainer:
 
     # --------------------------------------------------------------------- train
 
+    def render_rollout(self, agent_state, num_steps: int = 64, env_idx: int = 0,
+                       key=None):
+        """Roll the greedy policy and capture the RGB observation of one env
+        — frames for TB/wandb video logging (reference logs rollout videos
+        every 500 iterations, jax_ppo.py:1512-1520).  Host-side, off the hot
+        path."""
+        import numpy as np
+
+        key = key if key is not None else jax.random.key(0)
+        obs, info = self.env.reset()
+        frames = []
+        for t in range(num_steps):
+            action, _, _, key = self.get_action_and_value(agent_state, obs, key)
+            step_tuple = self.env.stateless_step(action, obs, info)
+            obs, _, _, _, info = self.env.conditional_reset(step_tuple, action)
+            frames.append(np.asarray(obs[0][env_idx]).astype(np.uint8))
+        return np.stack(frames)
+
     def train(
         self,
         num_iterations: Optional[int] = None,
         log_fn: Optional[Callable[[int, dict], None]] = None,
         checkpoint_manager=None,
+        video_every: int = 0,
+        video_fn: Optional[Callable[[int, "np.ndarray"], None]] = None,
     ):
         """Python driver loop.  Returns (agent_state, history list)."""
         args = self.args
@@ -513,12 +533,15 @@ class PPOTrainer:
                 and iteration % args.exp.checkpoint_every == 0
             ):
                 checkpoint_manager.save_state(iteration, agent_state, key)
+            if video_every and video_fn and iteration % video_every == 0:
+                video_fn(iteration, self.render_rollout(agent_state))
 
         self.agent_state, self.key = agent_state, key
         return agent_state, history
 
 
-def run_rollout_loop(env, args: Args, key=None, log_fn=None):
+def run_rollout_loop(env, args: Args, key=None, log_fn=None, video_every=0,
+                     video_fn=None):
     """Train PPO on ``env`` (counterpart of reference jax_ppo.py:419-1530)."""
     trainer = PPOTrainer(env, args, key)
     ckpt = None
@@ -527,7 +550,8 @@ def run_rollout_loop(env, args: Args, key=None, log_fn=None):
 
         ckpt = CheckpointManager(args.exp.checkpoint_dir)
     agent_state, history = trainer.train(
-        log_fn=log_fn or _default_log, checkpoint_manager=ckpt
+        log_fn=log_fn or _default_log, checkpoint_manager=ckpt,
+        video_every=video_every, video_fn=video_fn,
     )
     return trainer, agent_state, history
 

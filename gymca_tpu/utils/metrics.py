@@ -70,15 +70,34 @@ class MetricsLogger:
             self._wandb.log(metrics, step=step)
 
     def log_video(self, tag: str, frames, step: int, fps: int = 4) -> None:
-        """frames: (T, H, W, 3) uint8."""
-        if self._writer is not None:
-            import numpy as np
-            import torch
+        """frames: (T, H, W, 3) uint8.  TensorBoard video when moviepy is
+        available, else an animated GIF next to the run's event files."""
+        import numpy as np
 
-            vid = torch.from_numpy(
-                np.asarray(frames)[None].transpose(0, 1, 4, 2, 3)
+        frames = np.asarray(frames)
+        if self._writer is not None:
+            try:
+                import moviepy  # noqa: F401 — add_video degrades silently without it
+                import torch
+
+                vid = torch.from_numpy(frames[None].transpose(0, 1, 4, 2, 3))
+                self._writer.add_video(tag, vid, step, fps=fps)
+                return
+            except ImportError:  # moviepy missing: GIF fallback below
+                pass
+            from pathlib import Path
+
+            from PIL import Image
+
+            out = Path(self._writer.log_dir) / f"{tag}_{step}.gif"
+            imgs = [Image.fromarray(f) for f in frames]
+            imgs[0].save(out, save_all=True, append_images=imgs[1:],
+                         duration=int(1000 / fps), loop=0)
+        elif self._wandb is not None:
+            self._wandb.log(
+                {tag: self._wandb.Video(frames.transpose(0, 3, 1, 2), fps=fps)},
+                step=step,
             )
-            self._writer.add_video(tag, vid, step, fps=fps)
 
     def close(self) -> None:
         if self._writer is not None:
