@@ -481,19 +481,31 @@ class PPOTrainer:
 
     def render_rollout(self, agent_state, num_steps: int = 64, env_idx: int = 0,
                        key=None):
-        """Roll the greedy policy and capture the RGB observation of one env
-        — frames for TB/wandb video logging (reference logs rollout videos
-        every 500 iterations, jax_ppo.py:1512-1520).  Host-side, off the hot
-        path."""
+        """Roll the greedy (argmax) policy and capture the RGB observation of
+        one env — frames for TB/wandb video logging (reference logs rollout
+        videos every 500 iterations, jax_ppo.py:1512-1520).  Off the hot
+        path, but fully jitted per step."""
         import numpy as np
 
-        key = key if key is not None else jax.random.key(0)
+        if not hasattr(self, "_jit_video_step"):
+            def video_step(params, obs, info):
+                hidden = self.network.apply(params["network_params"], obs[0])
+                logits_set = self.actor.apply(params["actor_params"], hidden)
+                action = jnp.stack(
+                    [jnp.argmax(l, axis=-1) for l in logits_set], axis=1
+                ).astype(jnp.int32)
+                step_tuple = self.env.stateless_step(action, obs, info)
+                obs, _, _, _, info = self.env.conditional_reset(
+                    step_tuple, action
+                )
+                return obs, info
+
+            self._jit_video_step = jax.jit(video_step)
+
         obs, info = self.env.reset()
         frames = []
-        for t in range(num_steps):
-            action, _, _, key = self.get_action_and_value(agent_state, obs, key)
-            step_tuple = self.env.stateless_step(action, obs, info)
-            obs, _, _, _, info = self.env.conditional_reset(step_tuple, action)
+        for _ in range(num_steps):
+            obs, info = self._jit_video_step(agent_state.params, obs, info)
             frames.append(np.asarray(obs[0][env_idx]).astype(np.uint8))
         return np.stack(frames)
 
@@ -564,12 +576,15 @@ def _default_log(iteration, metrics):
     )
 
 
-def load_actor(params_path: str, env):
+def load_actor(params_path: str, env, args: Optional[Args] = None):
     """Restore the latest checkpoint and return a greedy policy
-    (counterpart of reference jax_ppo.py:1533-1641)."""
+    (counterpart of reference jax_ppo.py:1533-1641).
+
+    ``args`` must carry the same model hyperparameters (conv_count, ...)
+    the checkpoint was trained with; defaults otherwise."""
     from gymca_tpu.agents.checkpoint import CheckpointManager
 
-    args = Args()
+    args = args or Args()
     args.env.num_envs = env.num_envs
     trainer = PPOTrainer(env, args)
     ckpt = CheckpointManager(params_path)

@@ -113,6 +113,7 @@ class BulldozerMDP(Operator):
             "position": position,
             "time": time,
             "hit": hit,
+            "pos_fire": context["pos_fire"],  # episode constant (for render)
             "tree_count": jnp.sum(grid == self.tree).astype(TYPE_INT),
             "fire_count": jnp.sum(grid == self.fire).astype(TYPE_INT),
         }
@@ -255,6 +256,9 @@ class BulldozerCore(CAEnvCore):
             "position": position,
             "time": jnp.asarray(0.0, TYPE_BOX),
             "hit": jnp.asarray(False),
+            "pos_fire": jnp.stack(
+                [jnp.asarray(fr, TYPE_INT), jnp.asarray(fc, TYPE_INT)]
+            ),
             "tree_count": jnp.sum(grid == self._tree).astype(TYPE_INT),
             "fire_count": jnp.sum(grid == self._fire).astype(TYPE_INT),
         }
@@ -357,7 +361,9 @@ class BulldozerCore(CAEnvCore):
 
         t = counts[..., 0].astype(TYPE_BOX)
         f = counts[..., 1].astype(TYPE_BOX)
-        hit = (counts[..., 2] > 0) & jnp.logical_not(was_done)
+        # done envs keep their frozen (stale) hit flag, matching the
+        # context-freeze semantics of CAEnvCore.step
+        hit = jnp.where(was_done, states.context["hit"], counts[..., 2] > 0)
 
         reward = jnp.where(
             was_done, jnp.asarray(0.0, TYPE_BOX), -(f / jnp.maximum(t + f, 1.0))
@@ -370,6 +376,7 @@ class BulldozerCore(CAEnvCore):
                                   new_position),
             "time": jnp.where(was_done, states.context["time"], frac.astype(TYPE_BOX)),
             "hit": hit,
+            "pos_fire": states.context["pos_fire"],
             "tree_count": counts[..., 0].astype(TYPE_INT),
             "fire_count": counts[..., 1].astype(TYPE_INT),
         }

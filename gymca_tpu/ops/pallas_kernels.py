@@ -232,9 +232,19 @@ def _windy_sparse_kernel(
             grid_copy(b, b, inbound=False).wait()
 
 
-def supports_sparse_kernel(h: int, w: int) -> bool:
-    """Tile-alignment gate for the sparse kernel's Modify fast path."""
-    return h % _TILE_R == 0 and w % _TILE_C == 0 and h >= _TILE_R and w >= _TILE_C
+_VMEM_BUDGET = 4 * 1024 * 1024  # per-env grid slots must fit this
+
+
+def supports_sparse_kernel(h: int, w: int, itemsize: int = 4) -> bool:
+    """Gate for the sparse kernel: tile-aligned grids whose per-env VMEM
+    slot fits the budget (one slot minimum)."""
+    return (
+        h % _TILE_R == 0
+        and w % _TILE_C == 0
+        and h >= _TILE_R
+        and w >= _TILE_C
+        and h * w * itemsize <= _VMEM_BUDGET
+    )
 
 
 @functools.partial(
@@ -264,10 +274,10 @@ def windy_fused_step(
     # the block's DMAs overlap.  Each env in the block owns a VMEM grid slot,
     # so cap the block by a VMEM budget.
     itemsize = jnp.dtype(grid.dtype).itemsize
-    vmem_budget = 4 * 1024 * 1024
+    assert supports_sparse_kernel(h, w, itemsize), (h, w, grid.dtype)
     B = next(
         b for b in (8, 4, 2, 1)
-        if n % b == 0 and b * h * w * itemsize <= vmem_budget
+        if n % b == 0 and b * h * w * itemsize <= _VMEM_BUDGET
     )
     kernel = functools.partial(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,

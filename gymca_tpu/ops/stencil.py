@@ -112,9 +112,12 @@ def multi_box_sums(x: jnp.ndarray, radii) -> dict:
         # exactly below 2^24.
         lo_h = jnp.tril(jnp.ones((h, h), x.dtype))
         up_w = jnp.triu(jnp.ones((w, w), x.dtype))
+        # HIGHEST precision: default TPU matmul rounds f32 inputs to bf16,
+        # which corrupts counts > 2^8 (observed at 512^2 grids).
         s = jnp.einsum(
             "ij,...jk,kl->...il", lo_h, x, up_w,
             preferred_element_type=x.dtype,
+            precision=lax.Precision.HIGHEST,
         )
     else:
         s = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)

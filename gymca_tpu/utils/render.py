@@ -193,7 +193,7 @@ def render_bulldozer(env):
     grid = np.asarray(env.grid)
     pos = env.context["position"]
     time = env.context["time"]
-    pos_fseed = getattr(env.core, "_pos_fire", None)
+    pos_fseed = env.context.get("pos_fire", getattr(env.core, "_pos_fire", None))
 
     cells = [env._empty, env._tree, env._fire]
     colors = [COLOR_EMPTY, COLOR_TREE, COLOR_FIRE]

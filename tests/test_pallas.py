@@ -158,8 +158,11 @@ def test_step_batched_done_freeze(core, key):
     """Finished envs: grid frozen, reward 0, counters frozen."""
     keys = jax.random.split(key, 2)
     states = jax.vmap(core.initial_state)(keys)
-    # Mark env 0 done
+    # Mark env 0 done with a stale hit flag
     states = states.replace(done=jnp.asarray([True, False]))
+    states = states.replace(
+        context={**states.context, "hit": jnp.asarray([True, False])}
+    )
     actions = jnp.asarray([[5, 1], [5, 1]], jnp.int32)
     new_states, out = core.step_batched(states, actions, interpret=True)
     np.testing.assert_array_equal(
@@ -172,3 +175,6 @@ def test_step_batched_done_freeze(core, key):
         np.asarray(new_states.context["position"][0]),
         np.asarray(states.context["position"][0]),
     )
+    # frozen context keeps the stale hit (matches vmap(step) freeze semantics)
+    assert bool(new_states.context["hit"][0])
+    assert bool(out.info["hit"][0])

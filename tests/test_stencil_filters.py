@@ -39,6 +39,18 @@ def test_dousing_box_decomposition_matches_dense(key):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_box_sums_exact_on_large_grid(key):
+    """The matmul-cumsum path must not round counts (default TPU matmul
+    precision is bf16, which corrupts counts > 2^8 on >=512^2 grids)."""
+    x = (jax.random.uniform(key, (512, 512)) < 0.5).astype(jnp.float32)
+    got = multi_box_sums(x, (2,))[2]
+    xn = np.asarray(x)
+    for y, c in [(0, 0), (256, 256), (511, 511), (100, 400)]:
+        lo_y, hi_y = max(0, y - 2), min(512, y + 3)
+        lo_c, hi_c = max(0, c - 2), min(512, c + 3)
+        assert float(got[y, c]) == xn[lo_y:hi_y, lo_c:hi_c].sum(), (y, c)
+
+
 def test_box_sums_counts_exact(key):
     """Box sums of 0/1 inputs are exact integers (boundary handling incl.)."""
     x = (jax.random.uniform(key, (9, 17)) < 0.5).astype(jnp.float32)
