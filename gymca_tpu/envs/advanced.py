@@ -215,6 +215,7 @@ class AdvancedForestFireBulldozerEnv:
         self.ca = AlexandridisCA(
             nrows, self._empty, self._tree, self._fire,
             enable_pinecones=enable_pinecones,
+            static_p_tree=self._p_tree,
         )
         self.move = Move(DEFAULT_DIRECTIONS)
 

@@ -128,6 +128,7 @@ class AlexandridisCA(Operator):
         fire: int = 2,
         enable_pinecones: bool = False,
         max_pinecones: int = 5,
+        static_p_tree: float = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -135,6 +136,10 @@ class AlexandridisCA(Operator):
         self.empty, self.tree, self.fire = empty, tree, fire
         self.enable_pinecones = enable_pinecones
         self.max_pinecones = max_pinecones
+        # When the env's p_tree is statically known to be 0 (the Advanced
+        # default), empty cells can never grow — skip the growth uniforms and
+        # branch entirely.
+        self.skip_growth = static_p_tree == 0.0
 
         # Fire lifetime model (ca_alexandridis_jax.py:58-61): in the time it
         # takes to go halfway across and most of the way down, the fire
@@ -266,21 +271,23 @@ class AlexandridisCA(Operator):
             exp_slope = self.precompute_exp_slope(per_env["slope"])
         ignite = self._ignitions(grid, base, wind_matrix, exp_slope, k_burn)
 
-        u_grow = jax.random.uniform(k_grow, grid.shape, dtype=TYPE_BOX)
         new_fire_ages = jax.random.randint(
             k_age, grid.shape, self.fire_age_min, self.fire_age_max
         ).astype(per_env["fire_age"].dtype)
 
         # Rule cascade (ca_alexandridis_jax.py:379-392).
+        if self.skip_growth:
+            grown = grid
+        else:
+            u_grow = jax.random.uniform(k_grow, grid.shape, dtype=TYPE_BOX)
+            grown = jnp.where(
+                empty_mask & (u_grow < shared["p_tree"]), self.tree, grid
+            )
         new_grid = jnp.where(
             tree_mask & ignite,
             self.fire,
             jnp.where(
-                empty_mask & (u_grow < shared["p_tree"]),
-                self.tree,
-                jnp.where(
-                    fire_mask & (per_env["fire_age"] <= 1), self.empty, grid
-                ),
+                fire_mask & (per_env["fire_age"] <= 1), self.empty, grown
             ),
         ).astype(grid.dtype)
 
