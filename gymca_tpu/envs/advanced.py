@@ -97,6 +97,7 @@ class AdvancedForestFireBulldozerEnv:
         "altitude",
         "slope",
         "exp_slope",
+        "veg_den_factor",
         "fire_age",
         "key",
         "is_night",
@@ -128,10 +129,20 @@ class AdvancedForestFireBulldozerEnv:
         enable_extensions: bool = False,
         enable_pinecones: bool = False,
         ca_repeat_mode: str = "single",
+        use_pallas_ca: bool = False,
         **kwargs,
     ):
         self.nrows, self.ncols = nrows, ncols
         self.num_envs = num_envs
+        # Fused Pallas CA path (performance mode: in-kernel PRNG,
+        # distributionally equivalent to the XLA path, not bit-identical).
+        self.use_pallas_ca = bool(
+            use_pallas_ca
+            and ca_repeat_mode == "single"
+            and not enable_pinecones
+            and nrows % 8 == 0
+            and ncols % 128 == 0
+        )
         self.title = f"ForestFireBulldozer{nrows}x{ncols}"
         self.speed_multiplier = speed_multiplier
         self.middle_fire = middle_fire
@@ -174,13 +185,18 @@ class AdvancedForestFireBulldozerEnv:
             slope = terrain_mod.get_slope(altitude)
             from gymca_tpu.ops.alexandridis import AlexandridisCA as _ACA
 
-            return density, vegetation, altitude, slope, _ACA.precompute_exp_slope(
-                slope
+            return (
+                density,
+                vegetation,
+                altitude,
+                slope,
+                _ACA.precompute_exp_slope(slope),
+                _ACA.precompute_veg_den_factor(vegetation, density),
             )
 
-        density, vegetation, altitude, slope, exp_slope = jax.jit(
-            _terrain_bundle
-        )(key)
+        density, vegetation, altitude, slope, exp_slope, veg_den_factor = (
+            jax.jit(_terrain_bundle)(key)
+        )
 
         self._winds = winds  # (8, 3, 3)
         self._fts = fts  # (8, 3, 3)
@@ -193,6 +209,7 @@ class AdvancedForestFireBulldozerEnv:
         # hoisted out of the per-step burn test (8 full-grid exp passes
         # otherwise) and computed once in the terrain bundle above.
         self._exp_slope = exp_slope
+        self._veg_den_factor = veg_den_factor
 
         # --- time model -------------------------------------------------------
         scale = (nrows + ncols) // 2
@@ -236,6 +253,7 @@ class AdvancedForestFireBulldozerEnv:
             "altitude": self._altitude,
             "slope": self._slope,
             "exp_slope": self._exp_slope,
+            "veg_den_factor": self._veg_den_factor,
         }
 
         # jitted entry points (self is static)
@@ -511,6 +529,14 @@ class AdvancedForestFireBulldozerEnv:
                 0, self._max_repeats, body, (true_grid, ca_in)
             )
 
+        return self._post_ca_single(
+            grid, next_per_env, full_action, per_env, shared, position, frac
+        )
+
+    def _post_ca_single(self, grid, next_per_env, full_action, per_env, shared,
+                        position, frac):
+        """Everything after the CA: move + dousing write + day/night + obs.
+        Shared by the XLA and Pallas CA paths."""
         # Move + dousing write (move_modify_jax.py:148-157).
         position = self.move.update(grid, full_action[0], position)[1]
         doused = next_per_env["dousing_count"].at[position[0], position[1]].set(1)
@@ -539,6 +565,77 @@ class AdvancedForestFireBulldozerEnv:
     def _per_env_in_axes(self):
         return {k: 0 for k in self.PER_ENV_CONTEXT_KEYS}
 
+    def _mdp_batch_pallas(self, true_grid, full_actions, per_env, shared,
+                          position, time):
+        """Batched MDP with the fused Pallas CA kernel (performance mode)."""
+        from gymca_tpu.ops.pallas_alexandridis import alexandridis_fused_step
+        from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS, telescoped_box_coeffs
+
+        # key threading as in _mdp_single: carry key splits; CA randomness
+        # comes from the kernel PRNG seeded from k_ca.
+        def derive(key):
+            key, k_ca = jax.random.split(key)
+            seed = jax.random.randint(k_ca, (), 0, jnp.iinfo(jnp.int32).max)
+            k_wchange = jax.random.fold_in(k_ca, 1)
+            k_widx = jax.random.fold_in(k_ca, 2)
+            return key, seed, k_wchange, k_widx
+
+        keys, seeds, k_wchange, k_widx = jax.vmap(derive)(per_env["key"])
+
+        time_taken = (
+            self._move_timings[full_actions[:, 0]]
+            + self._shoot_timings[full_actions[:, 1]]
+            + self._t_env_any
+        )
+        frac, _ = jnp.modf(time + time_taken)
+
+        wm = shared["winds"][per_env["wind_index"]]  # (N, 3, 3)
+        wind_rows = jnp.stack(
+            [wm[:, 1 + dr, 1 + dc] for dr, dc in NEIGHBOR_OFFSETS], axis=-1
+        )
+
+        ca = self.ca
+        new_grid, new_age = alexandridis_fused_step(
+            true_grid,
+            per_env["fire_age"],
+            per_env["dousing_count"],
+            per_env["veg_den_factor"],
+            per_env["exp_slope"],
+            wind_rows,
+            seeds,
+            empty=self._empty, tree=self._tree, fire=self._fire,
+            layer_coeffs=telescoped_box_coeffs(ca.burn_layer_weights),
+            dousing_border=float(ca._dousing_border),
+            dousing_inner=float(ca._dousing_inner),
+            fire_age_min=int(ca.fire_age_min),
+            fire_age_max=int(ca.fire_age_max),
+        )
+
+        # stochastic wind rotation (vmapped scalars, as the XLA CA does)
+        n_winds = shared["winds"].shape[0]
+        wind_change = jax.vmap(jax.random.uniform)(k_wchange) < shared[
+            "p_wind_change"
+        ]
+        new_wind_index = jnp.where(
+            wind_change,
+            (per_env["wind_index"]
+             + jax.vmap(lambda k: jax.random.randint(k, (), 1, 8))(k_widx))
+            % n_winds,
+            per_env["wind_index"],
+        )
+
+        next_per_env = dict(per_env)
+        next_per_env["key"] = keys
+        next_per_env["fire_age"] = new_age.astype(per_env["fire_age"].dtype)
+        next_per_env["wind_index"] = new_wind_index
+
+        return jax.vmap(
+            self._post_ca_single,
+            in_axes=(0, self._per_env_in_axes(), 0,
+                     self._per_env_in_axes(), None, 0, 0),
+        )(new_grid.astype(true_grid.dtype), next_per_env, full_actions,
+          per_env, shared, position, frac)
+
     def _step_impl(self, action, obs, info):
         grid_stack, context = obs
         per_env = context["per_env_context"]
@@ -547,19 +644,27 @@ class AdvancedForestFireBulldozerEnv:
 
         full_actions = self._create_full_actions(action)
 
-        (rgb, next_true_grid, extended), (next_per_env, next_pos, next_time) = (
-            jax.vmap(
-                self._mdp_single,
-                in_axes=(0, 0, self._per_env_in_axes(), None, 0, 0),
-            )(
-                true_grid,
-                full_actions,
-                per_env,
-                shared,
-                context["position"],
-                context["time"],
+        if self.use_pallas_ca:
+            (rgb, next_true_grid, extended), (next_per_env, next_pos, next_time) = (
+                self._mdp_batch_pallas(
+                    true_grid, full_actions, per_env, shared,
+                    context["position"], context["time"],
+                )
             )
-        )
+        else:
+            (rgb, next_true_grid, extended), (next_per_env, next_pos, next_time) = (
+                jax.vmap(
+                    self._mdp_single,
+                    in_axes=(0, 0, self._per_env_in_axes(), None, 0, 0),
+                )(
+                    true_grid,
+                    full_actions,
+                    per_env,
+                    shared,
+                    context["position"],
+                    context["time"],
+                )
+            )
 
         context = dict(context)
         context["per_env_context"] = next_per_env

@@ -200,6 +200,14 @@ class AlexandridisCA(Operator):
         )
         return jnp.exp(SLOPE_COEFF * jnp.transpose(slope, axes)).astype(TYPE_BOX)
 
+    @staticmethod
+    def precompute_veg_den_factor(vegetation, density) -> jnp.ndarray:
+        """Static per-cell (1 + p_veg) * (1 + p_den) factor (terrain never
+        changes after construction)."""
+        p_veg = VEG_PROBS[jnp.clip(vegetation, 1, 5)]
+        p_den = DEN_PROBS[jnp.clip(density, 1, 5)]
+        return ((1.0 + p_veg) * (1.0 + p_den)).astype(TYPE_BOX)
+
     def _pinecone_spread(self, grid, key, per_env, ft, fire_mask):
         """Vectorized pinecone spotting (ca_alexandridis_jax.py:229-319)."""
         h, w = grid.shape

@@ -139,6 +139,16 @@ def multi_box_sums(x: jnp.ndarray, radii) -> dict:
     }
 
 
+def telescoped_box_coeffs(layer_weights) -> tuple:
+    """Per-radius box-sum coefficients equivalent to a square-ring kernel:
+    ``c_j = w_{j-1} - w_j`` for j < R, ``c_R = w_{R-1}`` (see
+    :func:`ring_kernel_filter`)."""
+    n = len(layer_weights)
+    coeffs = [layer_weights[j - 1] - layer_weights[j] for j in range(1, n)]
+    coeffs.append(layer_weights[n - 1])
+    return tuple(float(c) for c in coeffs)
+
+
 def ring_kernel_filter(x: jnp.ndarray, layer_weights) -> jnp.ndarray:
     """Correlate ``x`` with a square-ring kernel: weight ``layer_weights[i]``
     on Chebyshev ring ``i+1`` (ring 1 also covering the center cell).
