@@ -143,6 +143,16 @@ class AdvancedForestFireBulldozerEnv:
             and nrows % 8 == 0
             and ncols % 128 == 0
         )
+        if use_pallas_ca and not self.use_pallas_ca:
+            import warnings
+
+            warnings.warn(
+                "use_pallas_ca requested but unsupported for this config "
+                f"(nrows={nrows}, ncols={ncols}, ca_repeat_mode="
+                f"{ca_repeat_mode!r}, enable_pinecones={enable_pinecones}); "
+                "falling back to the XLA CA path",
+                stacklevel=2,
+            )
         self.title = f"ForestFireBulldozer{nrows}x{ncols}"
         self.speed_multiplier = speed_multiplier
         self.middle_fire = middle_fire
@@ -575,7 +585,9 @@ class AdvancedForestFireBulldozerEnv:
         # comes from the kernel PRNG seeded from k_ca.
         def derive(key):
             key, k_ca = jax.random.split(key)
-            seed = jax.random.randint(k_ca, (), 0, jnp.iinfo(jnp.int32).max)
+            # Both 32-bit words of the threefry key seed the kernel PRNG — a
+            # single 31-bit seed would birthday-collide over long runs.
+            seed = jax.random.key_data(k_ca).astype(jnp.int32)
             k_wchange = jax.random.fold_in(k_ca, 1)
             k_widx = jax.random.fold_in(k_ca, 2)
             return key, seed, k_wchange, k_widx

@@ -159,13 +159,6 @@ class AlexandridisCA(Operator):
 
     # --- pieces ------------------------------------------------------------
 
-    def _base_factor(self, vegetation, density, heat, dousing_retardant):
-        """(heat - dousing) * (1 + p_veg) * (1 + p_den), per cell."""
-        p_veg = VEG_PROBS[jnp.clip(vegetation, 1, 5)]
-        p_den = DEN_PROBS[jnp.clip(density, 1, 5)]
-        p_h = heat - dousing_retardant
-        return p_h * (1.0 + p_veg) * (1.0 + p_den)
-
     def _ignitions(self, grid, base, wind_matrix, exp_slope, key):
         """Tree cells ignited by any fire neighbor passing its directional
         burn test.  8 shifted masks; per-cell per-direction i.i.d. uniforms.
@@ -271,9 +264,12 @@ class AlexandridisCA(Operator):
             self._dousing_border * dbox[2]
             + (self._dousing_inner - self._dousing_border) * dbox[1]
         )
-        base = self._base_factor(
-            per_env["vegetation"], per_env["density"], heat, dousing_ret
-        )
+        vdf = per_env.get("veg_den_factor")
+        if vdf is None:  # fallback for direct operator use
+            vdf = self.precompute_veg_den_factor(
+                per_env["vegetation"], per_env["density"]
+            )
+        base = (heat - dousing_ret) * vdf
         exp_slope = per_env.get("exp_slope")
         if exp_slope is None:  # fallback for direct operator use
             exp_slope = self.precompute_exp_slope(per_env["slope"])

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gymca_tpu.config import TYPE_BOX, TYPE_INT
 from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS
 
 __all__ = ["alexandridis_fused_step"]
@@ -88,7 +87,7 @@ def _alexandridis_kernel(
     vdf_ref,  # (1, H, W) f32 — (1+p_veg)(1+p_den), static terrain
     slope_ref,  # (1, 3, 3, H, W) f32 — exp(0.078*slope), static terrain
     wind_ref,  # (1, 1, 8) f32 SMEM — wind matrix in NEIGHBOR_OFFSETS order
-    seed_ref,  # (1, 1, 1) int32 SMEM
+    seed_ref,  # (1, 1, 2) int32 SMEM — two PRNG seed words per (env, step)
     out_grid_ref,  # (1, H, W) int32
     out_age_ref,  # (1, H, W) f32
     *,
@@ -101,7 +100,9 @@ def _alexandridis_kernel(
     fire_age_min: int,
     fire_age_max: int,
 ):
-    pltpu.prng_seed(seed_ref[0, 0, 0])
+    # Two seed words (the env's full threefry key data): a single 31-bit
+    # seed would birthday-collide over long training runs.
+    pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
 
     g = grid_ref[0]
     age = age_ref[0]
@@ -113,19 +114,21 @@ def _alexandridis_kernel(
     f32fire = fire_mask.astype(jnp.float32)
     dous = (dous_ref[0] > 0).astype(jnp.float32)
 
+    # Banded-ones matrices, reused between the heat rings and the fixed
+    # radius-1/2 dousing boxes (dousing must not depend on the heat radius).
+    bands_h = {r: _banded(h, r) for r in range(1, len(layer_coeffs) + 1)}
+    bands_h.setdefault(1, _banded(h, 1))
+    bands_h.setdefault(2, _banded(h, 2))
+    bands_w = bands_h if h == w else {r: _banded(w, r) for r in bands_h}
+
     # heat = sum_r c_r * box_r(fire); dousing = two-level box on counts.
     heat = jnp.zeros((h, w), jnp.float32)
-    dousing_ret = jnp.zeros((h, w), jnp.float32)
     for r, c in enumerate(layer_coeffs, start=1):
-        d_r = _banded(h, r)
-        d_c = d_r if h == w else _banded(w, r)
-        heat = heat + c * _box(f32fire, d_r, d_c)
-        if r == 1:
-            dousing_ret = dousing_ret + (dousing_inner - dousing_border) * _box(
-                dous, d_r, d_c
-            )
-        elif r == 2:
-            dousing_ret = dousing_ret + dousing_border * _box(dous, d_r, d_c)
+        heat = heat + c * _box(f32fire, bands_h[r], bands_w[r])
+    dousing_ret = (
+        (dousing_inner - dousing_border) * _box(dous, bands_h[1], bands_w[1])
+        + dousing_border * _box(dous, bands_h[2], bands_w[2])
+    )
 
     base = (heat - dousing_ret) * vdf_ref[0]
 
@@ -176,7 +179,7 @@ def alexandridis_fused_step(
     vdf,  # (N, H, W) f32
     exp_slope,  # (N, 3, 3, H, W) f32
     wind_rows,  # (N, 8) f32 — per-env wind matrix in NEIGHBOR_OFFSETS order
-    seeds,  # (N,) int32
+    seeds,  # (N, 2) int32 — PRNG seed words per env
     *,
     empty: int,
     tree: int,
@@ -215,7 +218,7 @@ def alexandridis_fused_step(
                          memory_space=vm),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -239,5 +242,5 @@ def alexandridis_fused_step(
         vdf.astype(jnp.float32),
         exp_slope.astype(jnp.float32),
         wind_rows[:, None, :].astype(jnp.float32),
-        seeds[:, None, None].astype(jnp.int32),
+        seeds[:, None, :].astype(jnp.int32),
     )

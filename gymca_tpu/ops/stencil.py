@@ -159,10 +159,10 @@ def ring_kernel_filter(x: jnp.ndarray, layer_weights) -> jnp.ndarray:
     Equivalent to ``correlate2d(x, build_burn_kernel-style kernel)`` up to
     float summation order.
     """
-    n = len(layer_weights)
-    radii = list(range(1, n + 1))
+    coeffs = telescoped_box_coeffs(layer_weights)
+    radii = list(range(1, len(coeffs) + 1))
     boxes = multi_box_sums(x, radii)
-    out = layer_weights[n - 1] * boxes[n]
-    for j in range(1, n):
-        out = out + (layer_weights[j - 1] - layer_weights[j]) * boxes[j]
+    out = coeffs[0] * boxes[1]
+    for r in radii[1:]:
+        out = out + coeffs[r - 1] * boxes[r]
     return out

@@ -34,7 +34,7 @@ def run(grid, age=None, dousing=None, vdf=2.0, wind=100.0):
         jnp.full((N, H, W), vdf),
         jnp.ones((N, 3, 3, H, W)),
         jnp.full((N, 8), wind),
-        jnp.asarray([3], jnp.int32),
+        jnp.asarray([[3, 17]], jnp.int32),
         **KW,
     )
 
@@ -84,13 +84,20 @@ def test_empty_never_grows():
 def test_env_pallas_flag_gating():
     from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
 
-    # non-tileable width falls back to the XLA path
+    # a supported config keeps the flag ON
     env = AdvancedForestFireBulldozerEnv(
-        16, 16, key=jax.random.key(0), num_envs=2, use_pallas_ca=True
+        16, 128, key=jax.random.key(0), num_envs=2, use_pallas_ca=True
     )
+    assert env.use_pallas_ca
+    # non-tileable width falls back to the XLA path (with a warning)
+    with pytest.warns(UserWarning, match="use_pallas_ca"):
+        env = AdvancedForestFireBulldozerEnv(
+            16, 16, key=jax.random.key(0), num_envs=2, use_pallas_ca=True
+        )
     assert not env.use_pallas_ca
-    env = AdvancedForestFireBulldozerEnv(
-        16, 128, key=jax.random.key(0), num_envs=2, use_pallas_ca=True,
-        ca_repeat_mode="modf",
-    )
+    with pytest.warns(UserWarning, match="use_pallas_ca"):
+        env = AdvancedForestFireBulldozerEnv(
+            16, 128, key=jax.random.key(0), num_envs=2, use_pallas_ca=True,
+            ca_repeat_mode="modf",
+        )
     assert not env.use_pallas_ca
