@@ -1,31 +1,34 @@
-"""Gymnasium-compatible ``GridSpace`` for the classic (single-env) API layer.
+"""Gymnasium adapter for lattice spaces.
 
-API-parity port of the reference ``gym_cellular_automata/grid_space.py:11-90``
-(behavioral parity, fresh implementation): a gymnasium ``Space`` over integer
-lattices built from ``n`` or explicit ``values`` with optional sampling
-``probs``.  This lives in the *adapter* layer only — the functional TPU core
-uses :class:`gymca_tpu.core.spaces.GridSpec` instead.
+The functional TPU core describes lattices with the frozen, jit-safe
+:class:`gymca_tpu.core.spaces.GridSpec`.  The classic (single-env) gymnasium
+API layer still needs a ``gym.Space`` object — covering the surface of the
+reference's ``gym_cellular_automata/grid_space.py:11-90`` — so ``GridSpace``
+here is a *thin view* over a ``GridSpec``: all value/probability bookkeeping
+and containment logic live in the spec; this class only adds the stateful
+gymnasium pieces (``np_random`` sampling, ``Space`` inheritance, flatten
+registration).
 """
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import mul
 from typing import Optional, Sequence
 
 import numpy as np
 from gymnasium.spaces import Space
 
+from gymca_tpu.core.spaces import GridSpec
+
 __all__ = ["GridSpace"]
 
 
 class GridSpace(Space):
-    """A gymnasium Space for cellular-automaton lattices.
+    """``gym.Space`` view over a :class:`GridSpec` lattice description.
 
-    Example::
+    Construct from a cell count or an explicit cell-value list::
 
-        >>> GridSpace(n=3, shape=(2, 2))
-        >>> GridSpace(values=[-1, 0, 1], shape=(2, 2))
+        GridSpace(n=3, shape=(2, 2))
+        GridSpace(values=[0, 3, 25], shape=(2, 2), probs=[0.1, 0.9, 0.0])
     """
 
     def __init__(
@@ -37,55 +40,63 @@ class GridSpace(Space):
         dtype=np.int32,
         seed: Optional[int] = None,
     ):
-        super().__init__(shape, dtype, seed)
-
-        assert shape, "Shape must be a non-empty tuple."
-
-        if values is not None:
-            self._from_values = True
-            self.values = np.unique(np.array(values, dtype=dtype))
-            self.n = len(self.values)
-        elif n is not None:
-            self._from_values = False
-            assert n > 0, "'n' must be a positive integer."
-            self.n = n
-            self.values = np.arange(self.n, dtype=dtype)
-        else:
-            raise ValueError("'n' or 'values' must be provided.")
-
-        self.probs = (
-            np.repeat(1.0, self.n) / self.n if probs is None else np.asarray(probs)
+        spec = GridSpec(
+            shape=tuple(shape),
+            n=n,
+            values=None if values is None else tuple(int(v) for v in values),
+            probs=None if probs is None else tuple(probs),
+            dtype=dtype,
         )
-        assert len(self.values) == len(self.probs), (
-            "Unique values do NOT MATCH with assigned probabilities."
-        )
-        self.size = reduce(mul, self.shape)
+        self._spec = spec
+        self._named_by_values = values is not None
+        super().__init__(spec.shape, dtype, seed)
 
-    def sample(self) -> np.ndarray:
-        return self.np_random.choice(
-            a=self.values, size=self.size, p=self.probs
-        ).reshape(self.shape)
+    # -- spec-delegated surface ------------------------------------------------
+
+    @property
+    def spec(self) -> GridSpec:
+        """The underlying functional spec (jit-safe ``sample(key)`` lives there)."""
+        return self._spec
+
+    @property
+    def values(self) -> np.ndarray:
+        return np.asarray(self._spec.values, dtype=self.dtype)
+
+    @property
+    def n(self) -> int:
+        return self._spec.n
+
+    @property
+    def probs(self) -> np.ndarray:
+        return np.asarray(self._spec.probs)
+
+    @property
+    def size(self) -> int:
+        return self._spec.size
 
     def contains(self, x) -> bool:
-        if isinstance(x, list):
-            x = np.array(x, dtype=self.dtype)
-        x = np.asarray(x)
-        return set(np.unique(x).tolist()).issubset(
-            set(self.values.tolist())
-        ) and self.shape == tuple(x.shape)
+        return self._spec.contains(np.asarray(x, dtype=self.dtype))
 
-    def __repr__(self):
-        if self._from_values:
-            return f"GridSpace(values={self.values}, shape={self.shape})"
-        return f"GridSpace(n={self.n}, shape={self.shape})"
+    # -- gymnasium-stateful surface --------------------------------------------
+
+    def sample(self) -> np.ndarray:
+        flat = self.np_random.choice(self.values, size=self.size, p=self.probs)
+        return flat.reshape(self.shape)
 
     def __eq__(self, other):
-        return (
-            isinstance(other, GridSpace)
-            and (self.shape == other.shape)
-            and self.values.shape == other.values.shape
-            and bool(np.all(self.values == other.values))
+        if not isinstance(other, GridSpace):
+            return False
+        return self.shape == other.shape and np.array_equal(
+            self.values, other.values
         )
+
+    def __repr__(self):
+        inner = (
+            f"values={list(self._spec.values)}"
+            if self._named_by_values
+            else f"n={self.n}"
+        )
+        return f"GridSpace({inner}, shape={self.shape})"
 
     @property
     def is_np_flattenable(self):

@@ -72,23 +72,23 @@ class GridSpec(Spec):
     dtype: Any = TYPE_INT
 
     def __post_init__(self):
-        assert self.shape, "Shape must be a non-empty tuple."
+        assert self.shape, "GridSpec needs an explicit lattice shape"
         object.__setattr__(self, "shape", _freeze(self.shape))
         if self.values is not None:
             vals = tuple(int(v) for v in np.unique(np.asarray(self.values)))
             object.__setattr__(self, "values", vals)
             object.__setattr__(self, "n", len(vals))
         elif self.n is not None:
-            assert self.n > 0, "'n' must be a positive integer."
+            assert self.n > 0, "cell count 'n' must be >= 1"
             object.__setattr__(self, "values", tuple(range(self.n)))
         else:
-            raise ValueError("'n' or 'values' must be provided.")
+            raise ValueError("GridSpec needs either 'n' or 'values'")
         if self.probs is None:
             object.__setattr__(self, "probs", tuple([1.0 / self.n] * self.n))
         else:
             object.__setattr__(self, "probs", tuple(float(p) for p in self.probs))
         assert len(self.values) == len(self.probs), (
-            "Unique values do NOT MATCH with assigned probabilities."
+            "need exactly one sampling probability per distinct cell value"
         )
 
     @property

@@ -59,7 +59,7 @@ from gymca_tpu.envs.extensions import (
     transform_grid,
 )
 from gymca_tpu.ops.alexandridis import AlexandridisCA
-from gymca_tpu.ops.move_modify import DEFAULT_DIRECTIONS, Move
+from gymca_tpu.ops.move_modify import DEFAULT_DIRECTIONS, ModifyDousing, Move
 
 __all__ = ["AdvancedForestFireBulldozerEnv"]
 
@@ -245,6 +245,7 @@ class AdvancedForestFireBulldozerEnv:
             static_p_tree=self._p_tree,
         )
         self.move = Move(DEFAULT_DIRECTIONS)
+        self.modify_dousing = ModifyDousing()
 
         # --- extension action mapping -------------------------------------------
         self.extension_choices = extension_choices()
@@ -549,9 +550,8 @@ class AdvancedForestFireBulldozerEnv:
         Shared by the XLA and Pallas CA paths."""
         # Move + dousing write (move_modify_jax.py:148-157).
         position = self.move.update(grid, full_action[0], position)[1]
-        doused = next_per_env["dousing_count"].at[position[0], position[1]].set(1)
-        next_per_env["dousing_count"] = jnp.where(
-            full_action[1] == 1, doused, next_per_env["dousing_count"]
+        _, (_, next_per_env["dousing_count"]) = self.modify_dousing.update(
+            grid, full_action[1], (position, next_per_env["dousing_count"])
         )
 
         next_per_env["true_grid"] = grid
@@ -584,12 +584,20 @@ class AdvancedForestFireBulldozerEnv:
         # key threading as in _mdp_single: carry key splits; CA randomness
         # comes from the kernel PRNG seeded from k_ca.
         def derive(key):
+            # Accept legacy uint32 key arrays like the XLA path does
+            # (jax.random.key_data rejects them); hand the carry key back in
+            # the caller's own format so pytree dtypes stay stable.
+            legacy = not jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+            if legacy:
+                key = jax.random.wrap_key_data(key)
             key, k_ca = jax.random.split(key)
             # Both 32-bit words of the threefry key seed the kernel PRNG — a
             # single 31-bit seed would birthday-collide over long runs.
             seed = jax.random.key_data(k_ca).astype(jnp.int32)
             k_wchange = jax.random.fold_in(k_ca, 1)
             k_widx = jax.random.fold_in(k_ca, 2)
+            if legacy:
+                key = jax.random.key_data(key)
             return key, seed, k_wchange, k_widx
 
         keys, seeds, k_wchange, k_widx = jax.vmap(derive)(per_env["key"])

@@ -136,10 +136,16 @@ class BulldozerCore(CAEnvCore):
         p_tree: float = 0.90,
         p_empty: float = 0.10,
         wind: dict = None,
+        grid_dtype=jnp.int8,
     ):
         self.nrows, self.ncols = nrows, ncols
         self.title = f"ForestFireBulldozer{nrows}x{ncols}"
 
+        # Cell values {0, 3, 25} fit int8; storing grids at 1 byte/cell
+        # quarters HBM traffic and VMEM footprint vs the reference's int64
+        # (the stencil arithmetic still runs in int32 — the windy scores
+        # reach 2^11 * 25).  Pass int32 to mirror the classic config dtype.
+        self._grid_dtype = jnp.dtype(grid_dtype)
         self._empty, self._tree, self._fire = 0, 3, 25
         self._pos_bull = pos_bull
         self._pos_fire = pos_fire
@@ -198,7 +204,8 @@ class BulldozerCore(CAEnvCore):
     def _set_specs(self):
         nrows, ncols = self.nrows, self.ncols
         self.grid_spec = GridSpec(
-            values=(self._empty, self._tree, self._fire), shape=(nrows, ncols)
+            values=(self._empty, self._tree, self._fire), shape=(nrows, ncols),
+            dtype=self._grid_dtype,
         )
         self.ca_params_spec = BoxSpec(0.0, 1.0, shape=(3, 3))
         self.position_spec = MultiDiscreteSpec((nrows, ncols))
@@ -230,6 +237,7 @@ class BulldozerCore(CAEnvCore):
             values=(self._empty, self._tree, self._fire),
             probs=(self._p_empty, self._p_tree, 0.0),
             shape=(self.nrows, self.ncols),
+            dtype=self._grid_dtype,
         )
         grid = grid_spec.sample(k_grid)
 
@@ -287,7 +295,7 @@ class BulldozerCore(CAEnvCore):
         from gymca_tpu.ops.pallas_kernels import supports_sparse_kernel
 
         return self.repeater.max_repeats == 1 and supports_sparse_kernel(
-            self.nrows, self.ncols
+            self.nrows, self.ncols, self._grid_dtype.itemsize
         )
 
     def step_batched(self, states: EnvState, actions, *, interpret: bool = False):

@@ -202,43 +202,62 @@ class AlexandridisCA(Operator):
         return ((1.0 + p_veg) * (1.0 + p_den)).astype(TYPE_BOX)
 
     def _pinecone_spread(self, grid, key, per_env, ft, fire_mask):
-        """Vectorized pinecone spotting (ca_alexandridis_jax.py:229-319)."""
+        """Pinecone spotting: every fire cell lofts up to ``max_pinecones``
+        embers; each flies a wind-scaled normal-length flight along one of 8
+        compass directions and ignites a tree where it lands.
+
+        Distributional counterpart of the reference's dead-code spotting path
+        (``ca_alexandridis_jax.py:230-319``), restructured slot-major: one
+        (H, W) sample layer per ember slot instead of an (H, W, m) tensor, so
+        each slot is a plain 2-D gather the compiler pipelines.  The d-th
+        compass direction (counter-clockwise from East, in array coords
+        ``(drow, dcol)``) draws its wind-thrust factor from the d-th
+        off-center cell of the 3x3 ``ft`` matrix in row-major scan order — an
+        arbitrary pairing the reference fixes; kept for parity.
+        """
         h, w = grid.shape
-        m = self.max_pinecones
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        n_pinecones = jnp.minimum(
-            jax.random.poisson(k1, 1.0, shape=(h, w)), m
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+
+        compass = jnp.asarray(
+            ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)),
+            TYPE_INT,
         )
-        directions = jax.random.randint(k2, (h, w, m), 0, 8)
-        thrust = 1.0 * jax.random.normal(k3, (h, w, m))
-
-        dx = jnp.asarray([1, 1, 0, -1, -1, -1, 0, 1])
-        dy = jnp.asarray([0, 1, 1, 1, 0, -1, -1, -1])
-        ft_lookup = jnp.asarray(
-            [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
+        thrust_factor = jnp.stack(
+            [ft[1 + dr, 1 + dc] for dr, dc in NEIGHBOR_OFFSETS]
+        ).astype(TYPE_BOX)
+        burn_p = 0.48 * self.precompute_veg_den_factor(
+            per_env["vegetation"], per_env["density"]
         )
-        fr = ft_lookup[directions][..., 0]
-        fc = ft_lookup[directions][..., 1]
-        thrust = thrust * ft[fr, fc]
 
-        rows = jnp.arange(h)[:, None, None]
-        cols = jnp.arange(w)[None, :, None]
-        new_rows = jnp.clip(jnp.round(rows + dx[directions] * thrust), 0, h - 1
-                            ).astype(TYPE_INT)
-        new_cols = jnp.clip(jnp.round(cols + dy[directions] * thrust), 0, w - 1
-                            ).astype(TYPE_INT)
-
-        pinecone_mask = fire_mask[:, :, None] & (
-            jnp.arange(m)[None, None, :] < n_pinecones[:, :, None]
+        k_count, k_slots = jax.random.split(key)
+        n_embers = jnp.minimum(
+            jax.random.poisson(k_count, 1.0, (h, w)), self.max_pinecones
         )
-        p_veg = VEG_PROBS[jnp.clip(per_env["vegetation"], 1, 5)]
-        p_den = DEN_PROBS[jnp.clip(per_env["density"], 1, 5)]
-        probs = 0.48 * (1.0 + p_veg) * (1.0 + p_den)
 
-        u = jax.random.uniform(k4, (h, w, m))
-        landing = (grid[new_rows, new_cols] == self.tree) & pinecone_mask
-        burn = landing & (u < probs[new_rows, new_cols])
-        return new_rows.reshape(-1), new_cols.reshape(-1), burn.reshape(-1)
+        land_r, land_c, lit = [], [], []
+        for slot in range(self.max_pinecones):
+            k_dir, k_len, k_burn = jax.random.split(
+                jax.random.fold_in(k_slots, slot), 3
+            )
+            d = jax.random.randint(k_dir, (h, w), 0, 8)
+            flight = jax.random.normal(k_len, (h, w), TYPE_BOX) * thrust_factor[d]
+            r = jnp.clip(jnp.round(rows + compass[d, 0] * flight), 0, h - 1
+                         ).astype(TYPE_INT)
+            c = jnp.clip(jnp.round(cols + compass[d, 1] * flight), 0, w - 1
+                         ).astype(TYPE_INT)
+            in_flight = fire_mask & (slot < n_embers)
+            u = jax.random.uniform(k_burn, (h, w), dtype=TYPE_BOX)
+            lit.append(
+                in_flight & (grid[r, c] == self.tree) & (u < burn_p[r, c])
+            )
+            land_r.append(r)
+            land_c.append(c)
+        return (
+            jnp.stack(land_r).reshape(-1),
+            jnp.stack(land_c).reshape(-1),
+            jnp.stack(lit).reshape(-1),
+        )
 
     # --- main update ---------------------------------------------------------
 

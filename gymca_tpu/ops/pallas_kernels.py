@@ -41,8 +41,11 @@ __all__ = ["windy_fused_step", "windy_weights_from_roll"]
 # Weight vector index for each Moore offset.
 _WIDX = {offset: i for i, offset in enumerate(NEIGHBOR_OFFSETS)}
 
-# Modify tile (min int32 VMEM tile): sublane x lane.
-_TILE_R, _TILE_C = 8, 128
+# Modify tile = the minimum Mosaic VMEM tile for the grid dtype: the sublane
+# count grows as the itemsize shrinks (guide: f32/i32 (8,128), i16 (16,128),
+# i8 (32,128)); the lane count is always 128.
+_TILE_SUBLANES = {4: 8, 2: 16, 1: 32}
+_TILE_C = 128
 
 
 def windy_weights_from_roll(wind: jnp.ndarray, roll: jnp.ndarray) -> jnp.ndarray:
@@ -123,6 +126,7 @@ def _windy_sparse_kernel(
     tree: int,
     fire: int,
     envs_per_program: int,
+    tile_r: int,
 ):
     """One grid program handles ``envs_per_program`` envs: per-env *real*
     branching (skip / tile-modify / full CA), with the tiny Modify-tile DMAs
@@ -141,9 +145,9 @@ def _windy_sparse_kernel(
         )
 
     def tile_copy(b, row, col, inbound):
-        rt = pl.multiple_of((row // _TILE_R) * _TILE_R, _TILE_R)
+        rt = pl.multiple_of((row // tile_r) * tile_r, tile_r)
         ct = pl.multiple_of((col // _TILE_C) * _TILE_C, _TILE_C)
-        hbm = out_hbm.at[base + b, pl.ds(rt, _TILE_R), pl.ds(ct, _TILE_C)]
+        hbm = out_hbm.at[base + b, pl.ds(rt, tile_r), pl.ds(ct, _TILE_C)]
         vmem = tiles_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
         return pltpu.make_async_copy(src, dst, sem_tiles.at[b])
@@ -198,10 +202,10 @@ def _windy_sparse_kernel(
                          fire_in=fire_in):
             tile_copy(b, row, col, inbound=True).wait()
             t = tiles_vmem[b].astype(jnp.int32)
-            rt = (row // _TILE_R) * _TILE_R
+            rt = (row // tile_r) * tile_r
             ct = (col // _TILE_C) * _TILE_C
-            trs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 0) + rt
-            tcs = jax.lax.broadcasted_iota(jnp.int32, (_TILE_R, _TILE_C), 1) + ct
+            trs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0) + rt
+            tcs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1) + ct
             hit_arr = (trs == row) & (tcs == col) & (t == tree)
             tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
             tile_copy(b, row, col, inbound=False).start()
@@ -232,16 +236,19 @@ def _windy_sparse_kernel(
             grid_copy(b, b, inbound=False).wait()
 
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # per-env grid slots must fit this
+_VMEM_BUDGET = 8 * 1024 * 1024  # all per-env grid slots together fit this
+_MAX_ENVS_PER_PROGRAM = 32
 
 
 def supports_sparse_kernel(h: int, w: int, itemsize: int = 4) -> bool:
-    """Gate for the sparse kernel: tile-aligned grids whose per-env VMEM
-    slot fits the budget (one slot minimum)."""
+    """Gate for the sparse kernel: the grid must be tile-aligned *for its own
+    dtype's minimum tile* and one per-env VMEM slot must fit the budget."""
+    tile_r = _TILE_SUBLANES.get(itemsize)
     return (
-        h % _TILE_R == 0
+        tile_r is not None
+        and h % tile_r == 0
         and w % _TILE_C == 0
-        and h >= _TILE_R
+        and h >= tile_r
         and w >= _TILE_C
         and h * w * itemsize <= _VMEM_BUDGET
     )
@@ -269,19 +276,21 @@ def windy_fused_step(
     (scan carries) the update is in-place; eager callers get a copy.
     """
     n, h, w = grid.shape
-    assert supports_sparse_kernel(h, w), (h, w)
-    # Envs per grid program: amortizes per-program overhead (~1us) and lets
-    # the block's DMAs overlap.  Each env in the block owns a VMEM grid slot,
-    # so cap the block by a VMEM budget.
+    # Envs per grid program: amortizes per-program overhead (~1us measured)
+    # and lets the block's DMAs overlap.  Each env in the block owns a VMEM
+    # grid slot, so cap the block by a VMEM budget.
     itemsize = jnp.dtype(grid.dtype).itemsize
     assert supports_sparse_kernel(h, w, itemsize), (h, w, grid.dtype)
+    tile_r = _TILE_SUBLANES[itemsize]
     B = next(
-        b for b in (8, 4, 2, 1)
-        if n % b == 0 and b * h * w * itemsize <= _VMEM_BUDGET
+        b for b in (32, 16, 8, 4, 2, 1)
+        if b <= _MAX_ENVS_PER_PROGRAM
+        and n % b == 0
+        and b * h * w * itemsize <= _VMEM_BUDGET
     )
     kernel = functools.partial(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
-        envs_per_program=B,
+        envs_per_program=B, tile_r=tile_r,
     )
     pad8 = jnp.zeros((n, 1, 8 - params.shape[-1]), jnp.int32)
     params8 = jnp.concatenate([params[:, None, :].astype(jnp.int32), pad8], -1)
@@ -303,7 +312,7 @@ def windy_fused_step(
         ),
         scratch_shapes=[
             pltpu.VMEM((B, h, w), grid.dtype),
-            pltpu.VMEM((B, _TILE_R, _TILE_C), grid.dtype),
+            pltpu.VMEM((B, tile_r, _TILE_C), grid.dtype),
             pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((B,)),
         ],

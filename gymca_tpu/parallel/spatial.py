@@ -114,10 +114,11 @@ def alexandridis_step_spatial(
     row bands over ``mesh[axis]`` — flagship-physics counterpart of
     :func:`windy_step_spatial`, design-new vs the reference (SURVEY.md §5).
 
-    Each shard exchanges ``burn_kernel_radius``-row halos (the heat kernel's
-    reach; it also covers the radius-1 ignition test and radius-2 dousing
-    box) via ``lax.ppermute``, runs the full XLA CA on its extended band,
-    and keeps the interior rows.  Boundary-independent state (heat, dousing,
+    Each shard exchanges ``max(burn_kernel_radius, 2)``-row halos (the heat
+    kernel's reach, floored at 2 so the radius-2 dousing box and radius-1
+    ignition test are always covered even on tiny grids where
+    ``burn_kernel_radius == 1``) via ``lax.ppermute``, runs the full XLA CA
+    on its extended band, and keeps the interior rows.  Boundary-independent state (heat, dousing,
     terrain factors) is exact; per-cell randomness is drawn from
     shard-folded keys, so results are distributionally equivalent to the
     single-device step and *exactly* equal whenever the outcome is
@@ -130,7 +131,7 @@ def alexandridis_step_spatial(
     """
     n = mesh.shape[axis]
     h = grid.shape[0]
-    r = ca.burn_kernel_radius
+    r = max(ca.burn_kernel_radius, 2)  # dousing box reaches 2 rows across
     assert h % n == 0, f"grid rows {h} not divisible by mesh axis size {n}"
     assert r <= h // n, f"halo radius {r} exceeds band height {h // n}"
 

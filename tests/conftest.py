@@ -23,6 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Opt-in order shuffling (pytest-randomly is not in the image —
+    SURVEY §4 harness parity): ``GYMCA_TEST_SHUFFLE=<seed>`` randomizes test
+    order reproducibly, exposing hidden inter-test state."""
+    seed = os.environ.get("GYMCA_TEST_SHUFFLE")
+    if seed:
+        import random
+
+        random.Random(int(seed)).shuffle(items)
+
+
 @pytest.fixture
 def key():
     return jax.random.key(42)

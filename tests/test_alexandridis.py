@@ -151,3 +151,38 @@ class TestPinecones:
         per_env["fire_age"] = jnp.zeros((16, 16)).at[8, 8].set(100.0)
         new_grid, _ = ca(grid, None, (per_env, shared), key)
         assert new_grid.shape == (16, 16)
+
+    def test_zero_thrust_lands_on_source(self, key):
+        """ft == 0 -> every ember lands on its own (fire) cell -> no burns."""
+        ca = AlexandridisCA(16, EMPTY, TREE, FIRE, enable_pinecones=True)
+        grid = jnp.full((16, 16), TREE, jnp.int32).at[8, 8].set(FIRE)
+        per_env, _ = make_contexts(ca, 16, 16, key)
+        rows, cols, lit = ca._pinecone_spread(
+            grid, key, per_env, jnp.zeros((3, 3)), grid == FIRE
+        )
+        assert int(jnp.sum(lit)) == 0
+
+    def test_direction_wind_pairing(self, key):
+        """Only the ft cell paired with compass East (drow=+1, dcol=0) gets a
+        nonzero thrust factor -> every lit ember stays in the fire cell's
+        column (other directions fly distance 0 and land back on the fire).
+        Pins the reference's direction <-> ft-matrix pairing
+        (ca_alexandridis_jax.py:260-278)."""
+        ca = AlexandridisCA(32, EMPTY, TREE, FIRE, enable_pinecones=True)
+        grid = jnp.full((32, 32), TREE, jnp.int32).at[8, 8].set(FIRE)
+        per_env, _ = make_contexts(ca, 32, 32, key)
+        ft = jnp.zeros((3, 3)).at[0, 0].set(4.0)  # East's thrust cell
+
+        lit_rows, lit_cols = [], []
+        for i in range(30):
+            rows, cols, lit = ca._pinecone_spread(
+                grid, jax.random.fold_in(key, i), per_env, ft, grid == FIRE
+            )
+            m = np.asarray(lit)
+            lit_rows.append(np.asarray(rows)[m])
+            lit_cols.append(np.asarray(cols)[m])
+        lit_rows = np.concatenate(lit_rows)
+        lit_cols = np.concatenate(lit_cols)
+        assert lit_rows.size > 0, "eastward flights should ignite some trees"
+        assert np.all(lit_cols == 8), "East flights must preserve the column"
+        assert np.all(lit_rows != 8), "lit embers landed on trees, not the fire"

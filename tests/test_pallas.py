@@ -22,12 +22,15 @@ H, W = 16, 128  # small but TPU-tileable (float32/int32 tile = 8 x 128)
 
 @pytest.fixture(scope="module")
 def core():
-    return BulldozerCore(H, W)
+    return BulldozerCore(H, W, grid_dtype=jnp.int32)
 
 
 def test_supports_fused(core):
     assert core.supports_fused_step()
     assert not BulldozerCore(8, 8).supports_fused_step()
+    # dtype-aware tile gate (ADVICE r1): int8 needs (32, 128) alignment
+    assert not BulldozerCore(16, 128, grid_dtype=jnp.int8).supports_fused_step()
+    assert BulldozerCore(32, 128, grid_dtype=jnp.int8).supports_fused_step()
 
 
 def test_weights_from_roll_matches_windy_gating(key):
@@ -152,6 +155,32 @@ def test_step_batched_parity_with_vmap_step(core, key):
             np.asarray(jax.random.key_data(states_a.key)),
             np.asarray(jax.random.key_data(states_b.key)),
         )
+
+
+def test_int8_step_batched_parity(key):
+    """int8 grid storage (the production default): fused == vmap(step)."""
+    core8 = BulldozerCore(32, 128)  # default grid_dtype=int8
+    assert core8._grid_dtype == jnp.int8
+    assert core8.supports_fused_step()
+    keys = jax.random.split(key, 2)
+    states_a = jax.vmap(core8.initial_state)(keys)
+    assert states_a.grid.dtype == jnp.int8
+    states_b = states_a
+    step_vmap = jax.jit(jax.vmap(core8.step))
+    step_fused = jax.jit(lambda s, a: core8.step_batched(s, a, interpret=True))
+    k_act = jax.random.fold_in(key, 7)
+    for i in range(4):
+        k_act, k1, k2 = jax.random.split(k_act, 3)
+        actions = jnp.stack(
+            [jax.random.randint(k1, (2,), 0, 9),
+             jax.random.randint(k2, (2,), 0, 2)], axis=-1)
+        states_a, out_a = step_vmap(states_a, actions)
+        states_b, out_b = step_fused(states_b, actions)
+        np.testing.assert_array_equal(
+            np.asarray(states_a.grid), np.asarray(states_b.grid),
+            err_msg=f"step {i}")
+        np.testing.assert_array_equal(
+            np.asarray(out_a.reward), np.asarray(out_b.reward))
 
 
 def test_step_batched_done_freeze(core, key):

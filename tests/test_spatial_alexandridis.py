@@ -24,6 +24,7 @@ def ca():
 
 
 def make_ctx(ca, grid, wind_scale):
+    h, w = grid.shape
     winds = jnp.full((8, 3, 3), wind_scale)
     shared = {
         "winds": winds,
@@ -35,14 +36,14 @@ def make_ctx(ca, grid, wind_scale):
     }
     per_env = {
         "wind_index": jnp.asarray(0),
-        "density": jnp.full((H, W), 3, jnp.int32),
-        "vegetation": jnp.full((H, W), 3, jnp.int32),
-        "altitude": jnp.zeros((H, W)),
-        "slope": jnp.zeros((H, W, 3, 3)),
-        "exp_slope": jnp.ones((3, 3, H, W)),
-        "veg_den_factor": jnp.full((H, W), 2.0),
+        "density": jnp.full((h, w), 3, jnp.int32),
+        "vegetation": jnp.full((h, w), 3, jnp.int32),
+        "altitude": jnp.zeros((h, w)),
+        "slope": jnp.zeros((h, w, 3, 3)),
+        "exp_slope": jnp.ones((3, 3, h, w)),
+        "veg_den_factor": jnp.full((h, w), 2.0),
         "fire_age": jnp.where(grid == FIRE, 50.0, 0.0),
-        "dousing_count": jnp.zeros((H, W), jnp.int32),
+        "dousing_count": jnp.zeros((h, w), jnp.int32),
         "is_night": jnp.asarray(0),
         "true_grid": grid,
         "time_step": jnp.asarray(1),
@@ -96,17 +97,52 @@ def test_burnout_exact(ca, key):
     np.testing.assert_array_equal(gg, sg)
 
 
-def test_dousing_blocks_across_boundary(ca, key):
-    band = H // 4
-    grid = jnp.full((H, W), TREE, jnp.int32).at[band, 8].set(FIRE)
+def test_dousing_everywhere_blocks(ca, key):
+    grid = jnp.full((H, W), TREE, jnp.int32).at[H // 4, 8].set(FIRE)
     sg, _, gg, _ = run_both(
-        ca, grid, 1e6, 4, key,
-        per_env_mod={"dousing_count": jnp.ones((H, W), jnp.int32) * 0},
-    )
-    # sanity: with huge dousing everywhere nothing ignites
-    sg2, _, gg2, _ = run_both(
         ca, grid, 1.0, 4, key,
         per_env_mod={"dousing_count": jnp.ones((H, W), jnp.int32)},
     )
-    assert (gg2 == FIRE).sum() == 1
-    np.testing.assert_array_equal(gg2, sg2)
+    assert (gg == FIRE).sum() == 1
+    np.testing.assert_array_equal(gg, sg)
+
+
+def test_dousing_blocks_across_boundary(ca, key):
+    """Retardant lives ONLY in shard 0's last two rows; the fire sits in
+    shard 1.  The radius-2 dousing box must reach across the shard boundary
+    and block ignition on shard 1's side too (otherwise a halo narrower than
+    the dousing reach would let boundary cells ignite)."""
+    band = H // 4  # first row of shard 1
+    grid = jnp.full((H, W), TREE, jnp.int32).at[band, 8].set(FIRE)
+    dousing = jnp.zeros((H, W), jnp.int32).at[band - 2 : band, :].set(1)
+    # Huge wind -> every undoused neighbor ignites certainly; the dousing
+    # box (radius 2) covers rows band-4..band+1, i.e. every radius-1
+    # neighbor of the fire, so nothing may ignite — an RNG-independent
+    # outcome that must match the single-device CA exactly.
+    sg, _, gg, _ = run_both(
+        ca, grid, 1e6, 4, key, per_env_mod={"dousing_count": dousing}
+    )
+    assert (gg == FIRE).sum() == 1, "cross-boundary dousing must block"
+    np.testing.assert_array_equal(gg, sg)
+
+
+def test_dousing_halo_floor_on_tiny_grid(key):
+    """grid_size 8 has burn_kernel_radius == 1, narrower than the radius-2
+    dousing box — the spatial path must still floor the halo at 2 rows so
+    cross-shard retardant is seen (ADVICE r1 finding)."""
+    ca8 = AlexandridisCA(8, EMPTY, TREE, FIRE, static_p_tree=0.0)
+    assert ca8.burn_kernel_radius == 1
+    grid = jnp.full((8, 8), TREE, jnp.int32).at[4, 4].set(FIRE)  # shard 1 row 0
+    # Retardant ONLY in row 2 — exactly two rows above the boundary, so a
+    # radius-1 halo would not see it.  It reaches the fire's row-4 neighbors
+    # via the radius-2 dousing box (blocking them) but not row 5 (ignites).
+    dousing = jnp.zeros((8, 8), jnp.int32).at[2, :].set(1)
+    per_env, shared = make_ctx(ca8, grid, 1e6)
+    per_env["dousing_count"] = dousing
+    single_grid, _ = ca8.update(grid, None, (dict(per_env), shared), key)
+    single = np.asarray(single_grid)
+    assert single[4, 3] == TREE and single[4, 5] == TREE, "row-2 dousing blocks row 4"
+    assert (single[5, 3:6] == FIRE).all(), "row 5 is out of dousing reach"
+    mesh = make_mesh(2)
+    shard_grid, _ = alexandridis_step_spatial(ca8, grid, per_env, shared, key, mesh)
+    np.testing.assert_array_equal(np.asarray(shard_grid), single)
