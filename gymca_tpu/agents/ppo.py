@@ -526,6 +526,10 @@ class PPOTrainer:
         stats = EpisodeStatistics.create(args.env.num_envs)
         agent_state, key = self.agent_state, self.key
 
+        # Multi-host: every process runs the same loop (collectives inside
+        # train_iteration need all of them); only host 0 writes logs,
+        # checkpoints, and videos.
+        host0 = jax.process_index() == 0
         history = []
         start = time.time()
         for iteration in range(1, num_iterations + 1):
@@ -538,14 +542,15 @@ class PPOTrainer:
             metrics["global_step"] = global_step
             metrics["SPS"] = int(global_step / max(time.time() - start, 1e-9))
             history.append(metrics)
-            if log_fn is not None:
+            if log_fn is not None and host0:
                 log_fn(iteration, metrics)
             if (
                 checkpoint_manager is not None
+                and host0
                 and iteration % args.exp.checkpoint_every == 0
             ):
                 checkpoint_manager.save_state(iteration, agent_state, key)
-            if video_every and video_fn and iteration % video_every == 0:
+            if video_every and video_fn and host0 and iteration % video_every == 0:
                 video_fn(iteration, self.render_rollout(agent_state))
 
         self.agent_state, self.key = agent_state, key

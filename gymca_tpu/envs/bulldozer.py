@@ -50,7 +50,20 @@ from gymca_tpu.ops.move_modify import (
 from gymca_tpu.ops.repeat_ca import RepeatCA
 from gymca_tpu.ops.windy import WindyForestFire
 
-__all__ = ["BulldozerCore", "ForestFireBulldozerEnv", "DEFAULT_WIND"]
+__all__ = ["BulldozerCore", "ForestFireBulldozerEnv", "DEFAULT_WIND",
+           "derive_step_key"]
+
+
+def derive_step_key(key):
+    """Replicate the per-step key threading of ``CAEnvCore.step`` → MDP →
+    RepeatCA → windy uniform for the fused/sharded fast paths: returns
+    ``(carry_key, roll)`` where ``roll`` is the (3, 3) gust sample the XLA
+    reference path would draw.  Bit-identical key chain by construction."""
+    carry, sub = jax.random.split(key)
+    k_ca, _ = jax.random.split(sub)
+    (k0,) = jax.random.split(k_ca, 1)
+    roll = jax.random.uniform(k0, (3, 3), dtype=jnp.float32)
+    return carry, roll
 
 DEFAULT_WIND = {
     "up_left": 0.48,
@@ -315,14 +328,7 @@ class BulldozerCore(CAEnvCore):
         )
 
         # -- replicate the per-env key threading of step()/MDP/RepeatCA --
-        def derive(key):
-            carry, sub = jax.random.split(key)
-            k_ca, _ = jax.random.split(sub)
-            (k0,) = jax.random.split(k_ca, 1)
-            roll = jax.random.uniform(k0, (3, 3), dtype=jnp.float32)
-            return carry, roll
-
-        carry_keys, rolls = jax.vmap(derive)(states.key)
+        carry_keys, rolls = jax.vmap(derive_step_key)(states.key)
 
         was_done = states.done
         a_move = actions[..., 0]
@@ -350,8 +356,6 @@ class BulldozerCore(CAEnvCore):
                 new_position[..., 0].astype(TYPE_INT),
                 new_position[..., 1].astype(TYPE_INT),
                 shoot,
-                states.context["tree_count"].astype(TYPE_INT),
-                states.context["fire_count"].astype(TYPE_INT),
             ],
             axis=-1,
         )
@@ -367,11 +371,25 @@ class BulldozerCore(CAEnvCore):
         )
         new_grid = new_grid.astype(states.grid.dtype)
 
-        t = counts[..., 0].astype(TYPE_BOX)
-        f = counts[..., 1].astype(TYPE_BOX)
+        # Kernel counts are defined only where it did work (sparse contract);
+        # reconcile skipped/modify envs from the carried context here, where
+        # it is vector math instead of per-env scalar-core work.
+        is_modify = jnp.logical_not(do_ca) & (shoot > 0)
+        active = do_ca | is_modify
+        hit_now = active & (counts[..., 2] > 0)
+        hit_i = jnp.where(is_modify, counts[..., 2], 0).astype(TYPE_INT)
+        t_i = jnp.where(
+            do_ca, counts[..., 0],
+            states.context["tree_count"].astype(jnp.int32) - hit_i,
+        ).astype(TYPE_INT)
+        f_i = jnp.where(
+            do_ca, counts[..., 1], states.context["fire_count"].astype(jnp.int32)
+        ).astype(TYPE_INT)
+        t = t_i.astype(TYPE_BOX)
+        f = f_i.astype(TYPE_BOX)
         # done envs keep their frozen (stale) hit flag, matching the
         # context-freeze semantics of CAEnvCore.step
-        hit = jnp.where(was_done, states.context["hit"], counts[..., 2] > 0)
+        hit = jnp.where(was_done, states.context["hit"], hit_now)
 
         reward = jnp.where(
             was_done, jnp.asarray(0.0, TYPE_BOX), -(f / jnp.maximum(t + f, 1.0))
@@ -385,8 +403,8 @@ class BulldozerCore(CAEnvCore):
             "time": jnp.where(was_done, states.context["time"], frac.astype(TYPE_BOX)),
             "hit": hit,
             "pos_fire": states.context["pos_fire"],
-            "tree_count": counts[..., 0].astype(TYPE_INT),
-            "fire_count": counts[..., 1].astype(TYPE_INT),
+            "tree_count": t_i,
+            "fire_count": f_i,
         }
         new_states = EnvState(
             grid=new_grid,

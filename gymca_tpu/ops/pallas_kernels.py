@@ -113,12 +113,15 @@ def _banded_signal(g, weights, empty: int):
 
 def _windy_sparse_kernel(
     grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
-    w_ref,  # (B, 1, 8) int32 SMEM — per-direction weights (0 or PROPAGATION)
-    p_ref,  # (B, 1, 8) int32 SMEM — [do_ca, row, col, shoot, tree_in, fire_in, 0, 0]
+    b_ref,  # (1, 1, 4) int32 SMEM — [n_ca, n_active, 0, 0], replicated
+    p_ref,  # (B, 1, 16) int32 SMEM — CLASS-SORTED slots:
+    #         [env, row, col, shoot, w0..w7, pad]; slots [0, n_ca) are CA
+    #         envs, [n_ca, n_active) are modify-only envs, the rest unused
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
-    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree_count, fire_count, hit, 0]
-    g_vmem,  # (B, H, W) scratch — per-env grid slots
-    tiles_vmem,  # (B, 8, 128) scratch — per-env Modify tiles
+    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree, fire, hit, 0] in SLOT order;
+    #          WRITTEN ONLY for active slots (CA: all three; modify: hit)
+    g_vmem,  # (B, H, W) scratch — per-slot grid buffers
+    tiles_vmem,  # (B, tile_r, 128) scratch — per-slot Modify tiles
     sem_full,  # DMA((B,))
     sem_tiles,  # DMA((B,))
     *,
@@ -128,112 +131,92 @@ def _windy_sparse_kernel(
     envs_per_program: int,
     tile_r: int,
 ):
-    """One grid program handles ``envs_per_program`` envs: per-env *real*
-    branching (skip / tile-modify / full CA), with the tiny Modify-tile DMAs
-    issued for the whole block up front so their latency overlaps."""
+    """Class-sorted sparse step: one grid program handles ``envs_per_program``
+    SLOTS of the XLA-sorted work list (CA updates first, then tile-Modifies;
+    skipped envs never reach the kernel at all).
+
+    Why sorted indirection: the per-env scalar-core cost of *checking* what
+    each env needs (~125 ns for the branch predicates + SMEM reads) was the
+    throughput floor of the unsorted kernel — with ~57% of envs doing
+    nothing, reading ``do_ca``/``shoot`` for all N envs cost more than the
+    actual work.  Sorting the work list on the XLA side (vector argsort)
+    turns that into ONE bounds comparison per slot, and grids are fetched by
+    the env index carried in the slot (dynamic-index DMA), so grid data
+    never moves to make the list contiguous.
+    """
     B = envs_per_program
     base = pl.program_id(0) * B
+    # This program's slot ranges: CA slots [0, n0), modify slots [n0, n1).
+    # Zero-trip loops make idle blocks (and the whole noop tail of the
+    # sorted list) essentially free — the unrolled-`pl.when` formulation
+    # paid ~15-20 scalar-core cycles per predicated REGION, ~0.1 us per env
+    # even when every env was a no-op.
+    n0 = jnp.clip(b_ref[0, 0, 0] - base, 0, B)
+    n1 = jnp.clip(b_ref[0, 0, 1] - base, 0, B)
 
-    def env_params(b):
-        return (
-            p_ref[b, 0, 0],  # do_ca
-            p_ref[b, 0, 1],  # row
-            p_ref[b, 0, 2],  # col
-            p_ref[b, 0, 3],  # shoot
-            p_ref[b, 0, 4],  # tree_in
-            p_ref[b, 0, 5],  # fire_in
-        )
-
-    def tile_copy(b, row, col, inbound):
+    def tile_copy(b, inbound):
+        e, row, col = p_ref[b, 0, 0], p_ref[b, 0, 1], p_ref[b, 0, 2]
         rt = pl.multiple_of((row // tile_r) * tile_r, tile_r)
         ct = pl.multiple_of((col // _TILE_C) * _TILE_C, _TILE_C)
-        hbm = out_hbm.at[base + b, pl.ds(rt, tile_r), pl.ds(ct, _TILE_C)]
+        hbm = out_hbm.at[e, pl.ds(rt, tile_r), pl.ds(ct, _TILE_C)]
         vmem = tiles_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
         return pltpu.make_async_copy(src, dst, sem_tiles.at[b])
 
-    def grid_copy(b, slot, inbound):
-        hbm = grid_hbm.at[base + b] if inbound else out_hbm.at[base + b]
-        vmem = g_vmem.at[slot]
+    def grid_copy(b, inbound):
+        e = p_ref[b, 0, 0]
+        hbm = grid_hbm.at[e] if inbound else out_hbm.at[e]
+        vmem = g_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
-        return pltpu.make_async_copy(src, dst, sem_full.at[slot])
+        return pltpu.make_async_copy(src, dst, sem_full.at[b])
 
-    # Phase A: start all Modify-tile reads and the FIRST firing env's grid
-    # read (latency overlapped across the block).
-    for b in range(B):
-        do_ca, row, col, shoot, _, _ = env_params(b)
+    def foreach(lo, hi, body):
+        jax.lax.fori_loop(lo, hi, lambda b, c: (body(b), c)[1], 0)
 
-        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
-        def _(b=b, row=row, col=col):
-            tile_copy(b, row, col, inbound=True).start()
+    # Phase A: start every slot's inbound DMA (grid reads for CA slots, tile
+    # reads for modify slots) so their latency overlaps across the block.
+    foreach(0, n0, lambda b: grid_copy(b, inbound=True).start())
+    foreach(n0, n1, lambda b: tile_copy(b, inbound=True).start())
 
-        @pl.when(do_ca > 0)
-        def _(b=b):
-            grid_copy(b, b, inbound=True).start()
+    # Phase B: per-slot work.  Each slot owns a grid buffer, so all CA reads
+    # stream concurrently while earlier slots compute.
+    def _full_update(b):
+        row, col, shoot = p_ref[b, 0, 1], p_ref[b, 0, 2], p_ref[b, 0, 3]
+        grid_copy(b, inbound=True).wait()
+        g = g_vmem[b].astype(jnp.int32)
+        ws = [p_ref[b, 0, 4 + i] for i in range(8)]
+        signal, rows, cols = _banded_signal(g, ws, empty)
+        ca = _ca_decode(signal, g, empty, tree, fire)
 
-    # Phase B: per-env work.  Each env in the block owns a grid slot, so all
-    # firing envs' reads stream concurrently while earlier envs compute; the
-    # per-slot semaphore pairs each start with its wait in order (in-wait in
-    # Phase B, out-wait in Phase C).
-    for b in range(B):
-        do_ca, row, col, shoot, tree_in, fire_in = env_params(b)
+        tree_mask = ca == tree
+        hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
+        g_vmem[b] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
+        grid_copy(b, inbound=False).start()
 
-        @pl.when(do_ca > 0)
-        def _full_update(b=b, row=row, col=col, shoot=shoot):
-            grid_copy(b, b, inbound=True).wait()
-            g = g_vmem[b].astype(jnp.int32)
-            ws = [w_ref[b, 0, i] for i in range(8)]
-            signal, rows, cols = _banded_signal(g, ws, empty)
-            ca = _ca_decode(signal, g, empty, tree, fire)
+        hit_i = jnp.sum(hit_arr.astype(jnp.int32))
+        cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
+        cnt_ref[b, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
+        cnt_ref[b, 0, 2] = hit_i
 
-            tree_mask = ca == tree
-            hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
-            g_vmem[b] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
-            grid_copy(b, b, inbound=False).start()
+    def _modify_only(b):
+        row, col = p_ref[b, 0, 1], p_ref[b, 0, 2]
+        tile_copy(b, inbound=True).wait()
+        t = tiles_vmem[b].astype(jnp.int32)
+        rt = (row // tile_r) * tile_r
+        ct = (col // _TILE_C) * _TILE_C
+        trs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0) + rt
+        tcs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1) + ct
+        hit_arr = (trs == row) & (tcs == col) & (t == tree)
+        tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
+        tile_copy(b, inbound=False).start()
+        cnt_ref[b, 0, 2] = jnp.sum(hit_arr.astype(jnp.int32))
 
-            hit_i = jnp.sum(hit_arr.astype(jnp.int32))
-            cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
-            cnt_ref[b, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
-            cnt_ref[b, 0, 2] = hit_i
-            cnt_ref[b, 0, 3] = 0
+    foreach(0, n0, _full_update)
+    foreach(n0, n1, _modify_only)
 
-        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
-        def _modify_only(b=b, row=row, col=col, tree_in=tree_in,
-                         fire_in=fire_in):
-            tile_copy(b, row, col, inbound=True).wait()
-            t = tiles_vmem[b].astype(jnp.int32)
-            rt = (row // tile_r) * tile_r
-            ct = (col // _TILE_C) * _TILE_C
-            trs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0) + rt
-            tcs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1) + ct
-            hit_arr = (trs == row) & (tcs == col) & (t == tree)
-            tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
-            tile_copy(b, row, col, inbound=False).start()
-
-            hit_i = jnp.sum(hit_arr.astype(jnp.int32))
-            cnt_ref[b, 0, 0] = tree_in - hit_i
-            cnt_ref[b, 0, 1] = fire_in
-            cnt_ref[b, 0, 2] = hit_i
-            cnt_ref[b, 0, 3] = 0
-
-        @pl.when(jnp.logical_and(do_ca == 0, shoot == 0))
-        def _no_op(b=b, tree_in=tree_in, fire_in=fire_in):
-            cnt_ref[b, 0, 0] = tree_in
-            cnt_ref[b, 0, 1] = fire_in
-            cnt_ref[b, 0, 2] = 0
-            cnt_ref[b, 0, 3] = 0
-
-    # Phase C: drain outbound tile and grid writes.
-    for b in range(B):
-        do_ca, row, col, shoot, _, _ = env_params(b)
-
-        @pl.when(jnp.logical_and(do_ca == 0, shoot > 0))
-        def _(b=b, row=row, col=col):
-            tile_copy(b, row, col, inbound=False).wait()
-
-        @pl.when(do_ca > 0)
-        def _(b=b):
-            grid_copy(b, b, inbound=False).wait()
+    # Phase C: drain outbound writes.
+    foreach(0, n0, lambda b: grid_copy(b, inbound=False).wait())
+    foreach(n0, n1, lambda b: tile_copy(b, inbound=False).wait())
 
 
 _VMEM_BUDGET = 8 * 1024 * 1024  # all per-env grid slots together fit this
@@ -260,7 +243,7 @@ def supports_sparse_kernel(h: int, w: int, itemsize: int = 4) -> bool:
 def windy_fused_step(
     grid: jnp.ndarray,  # (N, H, W) int
     weights: jnp.ndarray,  # (N, 8) int32 — windy_weights_from_roll output
-    params: jnp.ndarray,  # (N, 6) int32 — [do_ca, row, col, shoot, tree_in, fire_in]
+    params: jnp.ndarray,  # (N, 4) int32 — [do_ca, row, col, shoot]
     *,
     empty: int,
     tree: int,
@@ -269,16 +252,18 @@ def windy_fused_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sparse fused windy-CA + Modify + counts step over a batch of envs.
 
-    ``params[:, 4:6]`` carry the current (tree, fire) counts so skipped
-    steps don't re-reduce the grid.  Returns ``(new_grid (N, H, W),
-    counts (N, 4) int32)`` with counts columns ``[tree, fire, hit, 0]`` on
-    the post-update grid.  The grid buffer is aliased in→out: inside jit
-    (scan carries) the update is in-place; eager callers get a copy.
+    Returns ``(new_grid (N, H, W), counts (N, 4) int32)``.  Counts columns
+    are ``[tree, fire, hit, _]`` on the post-update grid and are DEFINED ONLY
+    where the kernel did work: all three where ``do_ca``, ``hit`` alone where
+    ``(not do_ca) and shoot``; every other row is uninitialized garbage the
+    caller must mask (skipped envs keep their carried counts — that is the
+    point of the sparse design).  The grid buffer is aliased in→out: inside
+    jit (scan carries) the update is in-place; eager callers get a copy.
     """
     n, h, w = grid.shape
-    # Envs per grid program: amortizes per-program overhead (~1us measured)
-    # and lets the block's DMAs overlap.  Each env in the block owns a VMEM
-    # grid slot, so cap the block by a VMEM budget.
+    # Envs per grid program: amortizes per-program overhead and lets the
+    # block's DMAs overlap.  Each env in the block owns a VMEM grid slot, so
+    # cap the block by a VMEM budget.
     itemsize = jnp.dtype(grid.dtype).itemsize
     assert supports_sparse_kernel(h, w, itemsize), (h, w, grid.dtype)
     tile_r = _TILE_SUBLANES[itemsize]
@@ -292,15 +277,42 @@ def windy_fused_step(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
         envs_per_program=B, tile_r=tile_r,
     )
-    pad8 = jnp.zeros((n, 1, 8 - params.shape[-1]), jnp.int32)
-    params8 = jnp.concatenate([params[:, None, :].astype(jnp.int32), pad8], -1)
-    new_grid, counts = pl.pallas_call(
+    do_ca = params[:, 0] > 0
+    shoot = params[:, 3] > 0
+    is_modify = jnp.logical_not(do_ca) & shoot
+    # Class-sort the work list (CA=0, modify=1, noop=2) so the kernel's
+    # slots need only bounds checks; argsort is stable, so slot order within
+    # a class follows env order (determinism).
+    rank = jnp.where(do_ca, 0, jnp.where(is_modify, 1, 2)).astype(jnp.int32)
+    perm = jnp.argsort(rank, stable=True)
+    n_ca = jnp.sum(do_ca.astype(jnp.int32))
+    n_active = n_ca + jnp.sum(is_modify.astype(jnp.int32))
+    bounds = jnp.stack([n_ca, n_active, jnp.zeros((), jnp.int32),
+                        jnp.zeros((), jnp.int32)])[None, None, :]
+    env_ids = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    env_ids,
+                    params[:, 1].astype(jnp.int32),
+                    params[:, 2].astype(jnp.int32),
+                    params[:, 3].astype(jnp.int32),
+                ],
+                axis=-1,
+            ),
+            weights.astype(jnp.int32),
+            jnp.zeros((n, 4), jnp.int32),
+        ],
+        axis=-1,
+    )[perm][:, None, :]  # (N, 1, 16), slot order
+    new_grid, counts_slot = pl.pallas_call(
         kernel,
         grid=(n // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((B, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -322,5 +334,8 @@ def windy_fused_step(
             flops=n * h * w * 6, bytes_accessed=n * h * w, transcendentals=0
         ),
         interpret=interpret,
-    )(grid, weights[:, None, :], params8)
-    return new_grid, counts[:, 0, :]
+    )(grid, bounds, packed)
+    # Undo the class sort: env e's counts live at slot inv_perm[e].
+    inv_perm = jnp.argsort(perm)
+    counts = counts_slot[:, 0, :][inv_perm]
+    return new_grid, counts

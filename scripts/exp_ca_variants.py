@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Measure per-grid cost of windy-CA update formulations inside a Pallas
+kernel: (A) banded int32 conv+decode (current), (B) boolean int8 rule.
+
+Both are bit-identical in output (the conv decode reduces to: fire->empty,
+tree->fire iff any successful-direction fire neighbor, else keep).
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gymca_tpu.ops.pallas_kernels import _banded_signal, _ca_decode
+
+N, H, W = 256, 256, 256
+STEPS = 40
+EMPTY, TREE, FIRE = 0, 3, 25
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS
+
+
+def kernel_banded(g_ref, w_ref, out_ref, cnt_ref):
+    g = g_ref[0].astype(jnp.int32)
+    ws = [w_ref[0, 0, i] for i in range(8)]
+    signal, rows, cols = _banded_signal(g, ws, EMPTY)
+    ca = _ca_decode(signal, g, EMPTY, TREE, FIRE)
+    out_ref[0] = ca.astype(out_ref.dtype)
+    cnt_ref[0, 0, 0] = jnp.sum((ca == TREE).astype(jnp.int32))
+    cnt_ref[0, 0, 1] = jnp.sum((ca == FIRE).astype(jnp.int32))
+
+
+def kernel_bool(g_ref, w_ref, out_ref, cnt_ref):
+    """Boolean rule on int8: roll fire mask, gate by per-direction success."""
+    g = g_ref[0]  # int8
+    fire_mask = (g == FIRE).astype(jnp.int8)
+    h, w = g.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    r_lt, r_ge = rows < h - 1, rows >= 1
+    c_lt, c_ge = cols < w - 1, cols >= 1
+    zero8 = jnp.zeros((), jnp.int8)
+
+    acc = jnp.zeros((h, w), jnp.int8)
+    from gymca_tpu.ops.pallas_kernels import _WIDX
+    for dr in (1, 0, -1):
+        if dr == 1:
+            band = jnp.where(r_lt, pltpu.roll(fire_mask, h - 1, 0), zero8)
+        elif dr == -1:
+            band = jnp.where(r_ge, pltpu.roll(fire_mask, 1, 0), zero8)
+        else:
+            band = fire_mask
+        if dr != 0:
+            acc = acc | (band * w_ref[0, 0, _WIDX[(dr, 0)]].astype(jnp.int8))
+        acc = acc | (
+            jnp.where(c_lt, pltpu.roll(band, w - 1, 1), zero8)
+            * w_ref[0, 0, _WIDX[(dr, 1)]].astype(jnp.int8)
+        )
+        acc = acc | (
+            jnp.where(c_ge, pltpu.roll(band, 1, 1), zero8)
+            * w_ref[0, 0, _WIDX[(dr, -1)]].astype(jnp.int8)
+        )
+    tree_mask = g == TREE
+    new = jnp.where(
+        fire_mask.astype(bool),
+        jnp.asarray(EMPTY, jnp.int8),
+        jnp.where(tree_mask & (acc > 0), jnp.asarray(FIRE, jnp.int8), g),
+    )
+    out_ref[0] = new
+    cnt_ref[0, 0, 0] = jnp.sum((new == TREE).astype(jnp.int32))
+    cnt_ref[0, 0, 1] = jnp.sum((new == FIRE).astype(jnp.int32))
+
+
+def run_variant(kernel, grid, weights01):
+    @jax.jit
+    def run(grid, weights01):
+        def body(g, _):
+            g2, counts = pl.pallas_call(
+                kernel,
+                grid=(N,),
+                in_specs=[
+                    pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((N, H, W), grid.dtype),
+                    jax.ShapeDtypeStruct((N, 1, 4), jnp.int32),
+                ),
+                input_output_aliases={0: 0},
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            )(g, weights01)
+            return g2, counts[0, 0, 0]
+
+        g, c = jax.lax.scan(body, grid, None, length=STEPS)
+        return g, c[-1:]
+
+    return run
+
+
+def main():
+    key = jax.random.key(0)
+    grid8 = jax.random.choice(
+        key, jnp.asarray([EMPTY, TREE, FIRE], jnp.int8), (N, H, W),
+        p=jnp.asarray([0.098, 0.9, 0.002]),
+    )
+    # banded kernel expects weights 0/PROPAGATION; bool kernel expects 0/1
+    succ = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.6, (N, 1, 8))
+    w_prop = succ.astype(jnp.int32) * 8
+    w_01 = succ.astype(jnp.int32)
+
+    ra = run_variant(kernel_banded, grid8, w_prop)
+    dt = timeit(ra, grid8, w_prop)
+    print(f"A banded int32 pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
+          f"({dt*1e6:7.1f} us/step)", flush=True)
+
+    rb = run_variant(kernel_bool, grid8, w_01)
+    dt = timeit(rb, grid8, w_01)
+    print(f"B boolean int8 pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
+          f"({dt*1e6:7.1f} us/step)", flush=True)
+
+    # parity check
+    ga, _ = ra(grid8, w_prop)
+    gb, _ = rb(grid8, w_01)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    print("parity A == B over", STEPS, "steps OK")
+
+
+if __name__ == "__main__":
+    main()
