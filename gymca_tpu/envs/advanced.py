@@ -136,20 +136,26 @@ class AdvancedForestFireBulldozerEnv:
         self.num_envs = num_envs
         # Fused Pallas CA path (performance mode: in-kernel PRNG,
         # distributionally equivalent to the XLA path, not bit-identical).
+        # Gated on tile alignment AND the kernel's VMEM budget — at ~512^2
+        # the per-program working set exceeds VMEM and Mosaic refuses to
+        # compile, so large grids fall back to the XLA path with a warning.
+        from gymca_tpu.ops.pallas_alexandridis import supports_fused_alexandridis
+
         self.use_pallas_ca = bool(
             use_pallas_ca
             and ca_repeat_mode == "single"
             and not enable_pinecones
-            and nrows % 8 == 0
-            and ncols % 128 == 0
+            and supports_fused_alexandridis(nrows, ncols)
         )
         if use_pallas_ca and not self.use_pallas_ca:
             import warnings
 
             warnings.warn(
                 "use_pallas_ca requested but unsupported for this config "
-                f"(nrows={nrows}, ncols={ncols}, ca_repeat_mode="
-                f"{ca_repeat_mode!r}, enable_pinecones={enable_pinecones}); "
+                f"(nrows={nrows}, ncols={ncols} — needs 8/128 tile alignment "
+                "and a per-program VMEM working set under ~14 MB — "
+                f"ca_repeat_mode={ca_repeat_mode!r}, "
+                f"enable_pinecones={enable_pinecones}); "
                 "falling back to the XLA CA path",
                 stacklevel=2,
             )

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gymca_tpu.ops.stencil import NEIGHBOR_OFFSETS
 
-__all__ = ["alexandridis_fused_step"]
+__all__ = ["alexandridis_fused_step", "supports_fused_alexandridis",
+           "build_banded_ones"]
 
 _INV_2_24 = float(2.0 ** -24)
 
@@ -46,21 +47,30 @@ def _uniform_01(shape):
     return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV_2_24
 
 
-def _banded(h: int, r: int):
-    """(h, h) banded-ones matrix: 1 where |i - j| <= r (symmetric)."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-    return (jnp.abs(ii - jj) <= r).astype(jnp.float32)
+def build_banded_ones(n: int, n_bands: int) -> jnp.ndarray:
+    """(n_bands, n, n) bf16 stack of banded-ones matrices: plane ``r-1`` is 1
+    where ``|i - j| <= r``.  bf16 is exact here (values 0/1) and the box
+    COUNTS they produce stay exact too (<= 169 < 2^8 mantissa) while running
+    the MXU at its fast bf16 rate.  Built once on the XLA side and streamed
+    to every grid program (the pipeline elides the re-fetch: the block index
+    is constant)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = jnp.abs(ii - jj)
+    return jnp.stack(
+        [(d <= r).astype(jnp.bfloat16) for r in range(1, n_bands + 1)]
+    )
 
 
-def _box(x, d_rows, d_cols):
-    """Chebyshev box sum via two banded matmuls (zero boundary exact)."""
+def _box(x16, d_rows16, d_cols16):
+    """Chebyshev box sum via two banded bf16 matmuls (zero boundary exact,
+    f32 accumulation)."""
     t = jax.lax.dot_general(
-        d_rows, x, (((1,), (0,)), ((), ())),
+        d_rows16, x16, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return jax.lax.dot_general(
-        t, d_cols, (((1,), (0,)), ((), ())),
+        t.astype(jnp.bfloat16), d_cols16, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -86,6 +96,8 @@ def _alexandridis_kernel(
     dous_ref,  # (1, H, W) int32
     vdf_ref,  # (1, H, W) f32 — (1+p_veg)(1+p_den), static terrain
     slope_ref,  # (1, 3, 3, H, W) f32 — exp(0.078*slope), static terrain
+    bands_h_ref,  # (NB, H, H) bf16 — banded-ones stack (constant block)
+    bands_w_ref,  # (NB, W, W) bf16 — ditto for the column direction
     wind_ref,  # (1, 1, 8) f32 SMEM — wind matrix in NEIGHBOR_OFFSETS order
     seed_ref,  # (1, 1, 2) int32 SMEM — two PRNG seed words per (env, step)
     out_grid_ref,  # (1, H, W) int32
@@ -111,23 +123,18 @@ def _alexandridis_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
     fire_mask = g == fire
-    f32fire = fire_mask.astype(jnp.float32)
-    dous = (dous_ref[0] > 0).astype(jnp.float32)
-
-    # Banded-ones matrices, reused between the heat rings and the fixed
-    # radius-1/2 dousing boxes (dousing must not depend on the heat radius).
-    bands_h = {r: _banded(h, r) for r in range(1, len(layer_coeffs) + 1)}
-    bands_h.setdefault(1, _banded(h, 1))
-    bands_h.setdefault(2, _banded(h, 2))
-    bands_w = bands_h if h == w else {r: _banded(w, r) for r in bands_h}
+    fire16 = fire_mask.astype(jnp.bfloat16)
+    dous16 = (dous_ref[0] > 0).astype(jnp.bfloat16)
 
     # heat = sum_r c_r * box_r(fire); dousing = two-level box on counts.
+    # Box sums ride the MXU as bf16 banded matmuls (exact: counts <= 169).
     heat = jnp.zeros((h, w), jnp.float32)
     for r, c in enumerate(layer_coeffs, start=1):
-        heat = heat + c * _box(f32fire, bands_h[r], bands_w[r])
+        heat = heat + c * _box(fire16, bands_h_ref[r - 1], bands_w_ref[r - 1])
     dousing_ret = (
-        (dousing_inner - dousing_border) * _box(dous, bands_h[1], bands_w[1])
-        + dousing_border * _box(dous, bands_h[2], bands_w[2])
+        (dousing_inner - dousing_border)
+        * _box(dous16, bands_h_ref[0], bands_w_ref[0])
+        + dousing_border * _box(dous16, bands_h_ref[1], bands_w_ref[1])
     )
 
     base = (heat - dousing_ret) * vdf_ref[0]
@@ -165,6 +172,32 @@ def _alexandridis_kernel(
     out_age_ref[0] = new_age
 
 
+_VMEM_BUDGET_FUSED = 14 * 1024 * 1024
+
+
+def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
+    """VMEM-budget gate for the fused CA kernel.
+
+    Per grid program the pipeline double-buffers 13 (H, W) f32 input planes
+    (grid/age/dousing/vdf + 9 slope directions) and 2 outputs, plus the
+    shared bf16 banded-ones stacks; past ~320^2 that blows the ~16 MB VMEM
+    and Mosaic refuses to compile — callers must fall back to the XLA path
+    (mirrors ``supports_sparse_kernel`` for the windy kernel).
+    """
+    import math
+
+    if h % 8 != 0 or w % 128 != 0:
+        return False
+    if radius is None:
+        radius = max(math.ceil(math.log2(max(h, 4))) - 2, 1)
+    n_bands = max(radius, 2)
+    plane = h * w * 4
+    blocks = 2 * (13 + 2) * plane  # double-buffered in/out (H, W) f32 planes
+    bands = 2 * n_bands * (h * h + w * w) * 2  # bf16 stacks, double-buffered
+    scratch = 6 * plane  # live f32 temporaries inside the kernel body
+    return blocks + bands + scratch <= _VMEM_BUDGET_FUSED
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -199,12 +232,16 @@ def alexandridis_fused_step(
     deterministic sub-behavior tests rely on exactly that.
     """
     n, h, w = grid.shape
+    assert supports_fused_alexandridis(h, w, len(layer_coeffs)), (h, w)
     kernel = functools.partial(
         _alexandridis_kernel,
         empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,
         dousing_border=dousing_border, dousing_inner=dousing_inner,
         fire_age_min=fire_age_min, fire_age_max=fire_age_max,
     )
+    n_bands = max(len(layer_coeffs), 2)
+    bands_h = build_banded_ones(h, n_bands)
+    bands_w = bands_h if h == w else build_banded_ones(w, n_bands)
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
@@ -215,6 +252,10 @@ def alexandridis_fused_step(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((1, 3, 3, h, w), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((n_bands, h, h), lambda i: (0, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((n_bands, w, w), lambda i: (0, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -241,6 +282,8 @@ def alexandridis_fused_step(
         dousing.astype(jnp.int32),
         vdf.astype(jnp.float32),
         exp_slope.astype(jnp.float32),
+        bands_h,
+        bands_w,
         wind_rows[:, None, :].astype(jnp.float32),
         seeds[:, None, :].astype(jnp.int32),
     )

