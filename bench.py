@@ -60,19 +60,24 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
 
     # Compile, then absorb the first-call-after-compile overhead.  Timing
     # must end on a host fetch: block_until_ready is not a reliable fence on
-    # tunneled single-chip setups.
-    states2, rewards = run(states, key)
+    # tunneled single-chip setups.  Every rep restarts from the SAME freshly
+    # reset states: carrying state across reps would let episodes finish and
+    # freeze (no-op steps), quietly inflating the number.
+    s, rewards = run(states, key)
     _ = float(rewards[-1])
-    states2, rewards = run(states2, jax.random.fold_in(key, 1))
+    s, rewards = run(states, jax.random.fold_in(key, 1))
     _ = float(rewards[-1])
     reps = 3
-    t0 = time.perf_counter()
-    s = states2
+    best = float("inf")
     for i in range(reps):
-        s, rewards = run(s, jax.random.fold_in(key, 2 + i))
-    _ = float(rewards[-1])
-    dt = (time.perf_counter() - t0) / reps
-    return (num_envs * steps) / dt
+        t0 = time.perf_counter()
+        s, rewards = run(states, jax.random.fold_in(key, 2 + i))
+        _ = float(rewards[-1])
+        best = min(best, time.perf_counter() - t0)
+    done_frac = float(jnp.mean(s.done.astype(jnp.float32)))
+    print(f"[bench] done fraction after {steps} steps: {done_frac:.3f}",
+          file=sys.stderr)
+    return (num_envs * steps) / best
 
 
 def measure_reference_style_numpy(size: int, seconds: float = 3.0) -> float:
@@ -135,8 +140,10 @@ def main():
     size = int(os.environ.get("GYMCA_BENCH_SIZE", 64 if smoke else 256))
     num_envs = int(os.environ.get("GYMCA_BENCH_ENVS", 64 if smoke else 4096))
     # Long scans amortize the per-dispatch latency of tunneled single-chip
-    # setups (~27 ms/call measured) so the number reflects device throughput.
-    steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 120))
+    # setups (~27 ms/call measured) so the number reflects device
+    # throughput: at 120 steps the dispatch still contributed ~225 us/step
+    # (~20% of the step) — 1000 steps pushes it under 30 us/step.
+    steps = int(os.environ.get("GYMCA_BENCH_STEPS", 10 if smoke else 1000))
 
     value = measure_tpu_native(size, num_envs, steps)
 

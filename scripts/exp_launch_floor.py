@@ -90,17 +90,75 @@ def run_partition(params_seed):
     return c[-1:]
 
 
+def make_run_launch(n, smem_only=False):
+    @jax.jit
+    def run(grid, bounds, packed):
+        def body(g, _):
+            ins = [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            ]
+            outs = (
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((B, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            )
+            g2, counts = pl.pallas_call(
+                kernel,
+                grid=(n // B,),
+                in_specs=ins,
+                out_specs=outs,
+                out_shape=(
+                    jax.ShapeDtypeStruct((n, H, W), jnp.int8),
+                    jax.ShapeDtypeStruct((n, 1, 4), jnp.int32),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((B, H, W), jnp.int8),
+                    pltpu.SemaphoreType.DMA((B,)),
+                ],
+                input_output_aliases={0: 0},
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            )(g, bounds, packed)
+            return g2, counts[0, 0, 0]
+        g, c = jax.lax.scan(body, grid, None, length=STEPS)
+        return c[-1:]
+    return run
+
+
+def kernel_smem(b_ref, p_ref, cnt_ref):
+    pass
+
+
+@jax.jit
+def run_smem_only(bounds, packed):
+    def body(carry, _):
+        counts = pl.pallas_call(
+            kernel_smem,
+            grid=(N // B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((B, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((N, 1, 4), jnp.int32),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(bounds, packed)
+        return carry, counts[0, 0, 0]
+    c0, c = jax.lax.scan(body, 0, None, length=STEPS)
+    return c[-1:]
+
+
 def main():
-    grid = jnp.zeros((N, H, W), jnp.int8)
     bounds = jnp.zeros((1, 1, 4), jnp.int32)
     packed = jnp.zeros((N, 1, 16), jnp.int32)
-    dt = timeit(run_launch, grid, bounds, packed)
-    print(f"pallas launch floor (B={B}): {dt*1e6:7.1f} us/step", flush=True)
 
-    params = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(
-        (jnp.arange(N) % 7 == 0).astype(jnp.int32))
-    dt = timeit(run_partition, params)
-    print(f"partition+pack alone:        {dt*1e6:7.1f} us/step", flush=True)
+    for n in (512, 4096):
+        grid = jnp.zeros((n, H, W), jnp.int8)
+        dt = timeit(make_run_launch(n), grid, bounds, packed)
+        print(f"launch floor n={n}: {dt*1e6:7.1f} us/step", flush=True)
+
+    dt = timeit(run_smem_only, bounds, packed)
+    print(f"launch floor smem-only:      {dt*1e6:7.1f} us/step", flush=True)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from gymca_tpu.ops.pallas_kernels import windy_fused_step, windy_weights_from_ro
 
 SIZE = 256
 N = 4096
-STEPS = 120
+STEPS = 1000
 
 
 def timeit(fn, *args, reps=3):

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Run a PPO training curve and dump docs/assets artifacts (JSON + SVG).
+
+Usage: python scripts/train_curve.py --size 256 --num-envs 32 --iters 800 \
+           --bf16 --seed 7 --tag adv256
+Produces docs/assets/ppo_curve_<tag>.{json,svg} in the BASELINE.md format.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--num-envs", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=800)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--tag", type=str, required=True)
+    ap.add_argument("--out", type=str, default="docs/assets")
+    a = ap.parse_args()
+
+    import jax
+
+    from gymca_tpu.agents.args import Args, EnvArgs, ExperimentArgs, PPOArgs, \
+        VisualizationArgs
+    from gymca_tpu.agents.ppo import PPOTrainer
+    from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
+
+    args = Args(
+        ppo=PPOArgs(),
+        env=EnvArgs(num_envs=a.num_envs, size=a.size),
+        viz=VisualizationArgs(),
+        exp=ExperimentArgs(
+            total_timesteps=a.iters * a.num_envs * 128,
+            num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
+        ),
+    )
+    env = AdvancedForestFireBulldozerEnv(
+        a.size, a.size, key=jax.random.key(a.seed), num_envs=a.num_envs,
+    )
+    trainer = PPOTrainer(env, args, key=jax.random.key(a.seed))
+
+    history = []
+
+    def log_fn(iteration, metrics):
+        history.append(metrics)
+        if iteration % 20 == 0 or iteration == 1:
+            print(
+                f"iter {iteration}/{a.iters}: SPS={metrics['SPS']} "
+                f"return={metrics.get('episodic_return', float('nan')):.2f} "
+                f"loss={metrics.get('loss', float('nan')):.4f}",
+                flush=True,
+            )
+
+    t0 = time.time()
+    trainer.train(num_iterations=a.iters, log_fn=log_fn)
+    wall = time.time() - t0
+
+    out_dir = Path(a.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    blob = {
+        "config": (
+            f"AdvancedBulldozer {a.size}x{a.size}, {a.num_envs} envs, "
+            f"{'bf16' if a.bf16 else 'f32'}, seed {a.seed}, default PPO"
+        ),
+        "hardware": "TPU v5e (1 chip)",
+        "wall_seconds": round(wall, 1),
+        "history": [
+            {k: round(float(v), 4) for k, v in m.items()} for m in history
+        ],
+    }
+    jpath = out_dir / f"ppo_curve_{a.tag}.json"
+    jpath.write_text(json.dumps(blob))
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    steps = np.asarray([m["global_step"] for m in history])
+    rets = np.asarray([m.get("episodic_return", np.nan) for m in history])
+    valid = rets != 0.0
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(steps[valid], rets[valid], lw=0.8, alpha=0.4, color="tab:blue")
+    if valid.sum() > 20:
+        k = max(valid.sum() // 40, 1)
+        sm = np.convolve(rets[valid], np.ones(k) / k, mode="valid")
+        ax.plot(steps[valid][k - 1:], sm, lw=2, color="tab:blue",
+                label=f"episodic return (smoothed x{k})")
+        ax.legend()
+    ax.set_xlabel("env steps")
+    ax.set_ylabel("mean episodic return")
+    ax.set_title(blob["config"])
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_dir / f"ppo_curve_{a.tag}.svg")
+    print(f"wrote {jpath} and .svg  (wall {wall:.0f}s)")
+
+    early = rets[valid][: max(valid.sum() // 8, 5)].mean()
+    late = rets[valid][-max(valid.sum() // 8, 5):].mean()
+    print(f"return early {early:.1f} -> late {late:.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,14 +24,22 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    """Opt-in order shuffling (pytest-randomly is not in the image —
-    SURVEY §4 harness parity): ``GYMCA_TEST_SHUFFLE=<seed>`` randomizes test
-    order reproducibly, exposing hidden inter-test state."""
+    """Opt-in harness knobs mirroring the reference's pytest-randomly /
+    pytest-repeat plugins (not in this image — SURVEY §4):
+
+    * ``GYMCA_TEST_SHUFFLE=<seed>`` randomizes test order reproducibly,
+      exposing hidden inter-test state.
+    * ``GYMCA_TEST_REPEAT=<k>`` runs every collected test k times,
+      exposing flakes.
+    """
     seed = os.environ.get("GYMCA_TEST_SHUFFLE")
     if seed:
         import random
 
         random.Random(int(seed)).shuffle(items)
+    rep = int(os.environ.get("GYMCA_TEST_REPEAT", "1"))
+    if rep > 1:
+        items[:] = [it for it in items for _ in range(rep)]
 
 
 @pytest.fixture

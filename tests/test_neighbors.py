@@ -47,9 +47,12 @@ def test_neighborhood_at(key):
 
 @pytest.mark.slow
 def test_registered_envs_long_episodes():
-    """Scaled-down counterpart of the reference's slow registration test
-    (tests/test_registration.py:29-81): long random episodes with periodic
-    render checks."""
+    """Counterpart of the reference's slow registration test
+    (tests/test_registration.py:29-81).  Default scale is CI-friendly;
+    ``GYMCA_SLOW_SCALE=8`` reproduces the reference's 32-reset x 4096-step
+    weight."""
+    import os
+
     import gymnasium as gym
     import matplotlib
 
@@ -58,15 +61,50 @@ def test_registered_envs_long_episodes():
 
     import gymca_tpu
 
+    scale = int(os.environ.get("GYMCA_SLOW_SCALE", "1"))
     for env_id in gymca_tpu.gymca.envs:
         env = gym.make(env_id).unwrapped
         env.reset(seed=0)
-        for reset in range(4):
+        for reset in range(4 * scale):
             env.reset()
-            for step in range(256):
+            for step in range(256 * min(scale * 2, 16)):
                 _, _, done, _, _ = env.step(env.action_space.sample())
                 if done:
                     break
         fig = env.render()
+
+
+@pytest.mark.slow
+def test_batched_bulldozer_long_episodes():
+    """Batched analog of the slow registration test: many envs, full
+    episodes to termination through the fused batched path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gymca_tpu.envs.bulldozer import BulldozerCore
+
+    core = BulldozerCore(32, 128)  # int8 default, fused-kernel eligible
+    keys = jax.random.split(jax.random.key(3), 16)
+    states = jax.vmap(core.initial_state)(keys)
+
+    @jax.jit
+    def run(states, key):
+        def body(carry, k):
+            st = carry
+            a = jnp.stack(
+                [jax.random.randint(k, (16,), 0, 9),
+                 jax.random.randint(jax.random.fold_in(k, 1), (16,), 0, 2)],
+                axis=-1,
+            )
+            st, out = core.step_batched(st, a, interpret=True)
+            return st, out.reward
+        return jax.lax.scan(body, states, jax.random.split(key, 512))
+
+    states, rewards = run(states, jax.random.key(9))
+    import numpy as np
+
+    r = np.asarray(rewards)
+    assert np.all((r <= 0.0) & (r >= -1.0))
+    assert np.asarray(states.done).any(), "some 32x128 episodes should finish"
         assert isinstance(fig, Figure)
         matplotlib.pyplot.close(fig)
