@@ -72,6 +72,8 @@ def test_registered_envs_long_episodes():
                 if done:
                     break
         fig = env.render()
+        assert isinstance(fig, Figure)
+        matplotlib.pyplot.close(fig)
 
 
 @pytest.mark.slow
@@ -106,5 +108,3 @@ def test_batched_bulldozer_long_episodes():
     r = np.asarray(rewards)
     assert np.all((r <= 0.0) & (r >= -1.0))
     assert np.asarray(states.done).any(), "some 32x128 episodes should finish"
-        assert isinstance(fig, Figure)
-        matplotlib.pyplot.close(fig)
