@@ -546,11 +546,17 @@ class PPOTrainer:
                 log_fn(iteration, metrics)
             if (
                 checkpoint_manager is not None
-                and host0
                 and iteration % args.exp.checkpoint_every == 0
             ):
+                # EVERY process must enter the save: orbax's multi-host save
+                # is a collective (internal cross-process barrier); gating it
+                # on host 0 would deadlock a 2+ process run.  Orbax itself
+                # coordinates which process writes.
                 checkpoint_manager.save_state(iteration, agent_state, key)
             if video_every and video_fn and host0 and iteration % video_every == 0:
+                # render/write on host 0 only — safe because params are
+                # replicated (fully addressable) and the rollout env state
+                # is process-local.
                 video_fn(iteration, self.render_rollout(agent_state))
 
         self.agent_state, self.key = agent_state, key

@@ -75,7 +75,13 @@ class GridSpace(Space):
         return self._spec.size
 
     def contains(self, x) -> bool:
-        return self._spec.contains(np.asarray(x, dtype=self.dtype))
+        # No dtype cast here: coercing 0.5 -> 0 (or wrapping 259 -> 3 at
+        # int8) would silently accept invalid grids.  Per the gym contract,
+        # un-arrayable input means "not contained", never an exception.
+        try:
+            return self._spec.contains(np.asarray(x))
+        except (TypeError, ValueError):
+            return False
 
     # -- gymnasium-stateful surface --------------------------------------------
 

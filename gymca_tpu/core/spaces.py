@@ -113,7 +113,7 @@ class GridSpec(Spec):
         from gymca_tpu.core.gym_compat import GridSpace
 
         return GridSpace(values=list(self.values), shape=self.shape,
-                         probs=list(self.probs))
+                         probs=list(self.probs), dtype=np.dtype(self.dtype))
 
     def __repr__(self):
         return f"GridSpec(values={list(self.values)}, shape={self.shape})"

@@ -149,7 +149,7 @@ class BulldozerCore(CAEnvCore):
         p_tree: float = 0.90,
         p_empty: float = 0.10,
         wind: dict = None,
-        grid_dtype=jnp.int8,
+        grid_dtype=None,
     ):
         self.nrows, self.ncols = nrows, ncols
         self.title = f"ForestFireBulldozer{nrows}x{ncols}"
@@ -157,7 +157,19 @@ class BulldozerCore(CAEnvCore):
         # Cell values {0, 3, 25} fit int8; storing grids at 1 byte/cell
         # quarters HBM traffic and VMEM footprint vs the reference's int64
         # (the stencil arithmetic still runs in int32 — the windy scores
-        # reach 2^11 * 25).  Pass int32 to mirror the classic config dtype.
+        # reach 2^11 * 25).  int8's Mosaic tile needs 32-row alignment
+        # though, so grids that only tile at int32's 8 rows (h % 32 != 0)
+        # default to int32 to keep their fused fast path.  Pass grid_dtype
+        # explicitly to override.
+        if grid_dtype is None:
+            from gymca_tpu.ops.pallas_kernels import supports_sparse_kernel
+
+            grid_dtype = (
+                jnp.int8
+                if supports_sparse_kernel(nrows, ncols, 1)
+                or not supports_sparse_kernel(nrows, ncols, 4)
+                else jnp.int32
+            )
         self._grid_dtype = jnp.dtype(grid_dtype)
         self._empty, self._tree, self._fire = 0, 3, 25
         self._pos_bull = pos_bull

@@ -85,7 +85,7 @@ def main():
 
     steps = np.asarray([m["global_step"] for m in history])
     rets = np.asarray([m.get("episodic_return", np.nan) for m in history])
-    valid = rets != 0.0
+    valid = (rets != 0.0) & ~np.isnan(rets)
     fig, ax = plt.subplots(figsize=(7, 4))
     ax.plot(steps[valid], rets[valid], lw=0.8, alpha=0.4, color="tab:blue")
     if valid.sum() > 20:
