@@ -62,7 +62,7 @@ def main():
                 fire_age_min=int(ca.fire_age_min),
                 fire_age_max=int(ca.fire_age_max),
             )
-            return (g2, a2), g2[0, 0, 0]
+            return (g2.astype(grid.dtype), a2.astype(age.dtype)), g2[0, 0, 0]
 
         (g, a), c = jax.lax.scan(
             body, (grid, age), None, length=STEPS
