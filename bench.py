@@ -43,6 +43,31 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
     # per step + tile-aligned); falls back to vmapped XLA.
     step = core.step_batched if core.supports_fused_step() else jax.vmap(core.step)
 
+    # Multi-chip: shard the env batch over every available device and run
+    # the same step per shard (shard_map — the Pallas kernel is per-device).
+    # Opt out with GYMCA_BENCH_SHARD=0.
+    n_dev = len(jax.devices())
+    if n_dev > 1 and os.environ.get("GYMCA_BENCH_SHARD", "1") != "0" \
+            and num_envs % n_dev == 0:
+        from jax.sharding import PartitionSpec as P
+
+        from gymca_tpu.parallel.mesh import make_mesh, shard_env_batch
+        from gymca_tpu.parallel.sharded import shard_map
+
+        mesh = make_mesh()
+        states = shard_env_batch(mesh, states)
+        inner = step
+        out_struct = jax.eval_shape(
+            inner, states, jnp.zeros((num_envs, 2), jnp.int32)
+        )
+        step = shard_map(
+            inner, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P("data"), states), P("data")),
+            out_specs=jax.tree.map(lambda _: P("data"), out_struct),
+        )
+        print(f"[bench] sharding {num_envs} envs over {n_dev} devices",
+              file=sys.stderr)
+
     def body(carry, _):
         states, key = carry
         key, k_act = jax.random.split(key)
