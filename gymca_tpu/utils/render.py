@@ -11,9 +11,11 @@ stack:
   markers, time gauge, tree-vs-burned stacked counts); Advanced adds
   day/night palettes, dousing overlay and a wind-direction arrow;
   ``plot_grid_attribute`` heatmaps for altitude/density/vegetation;
-* built-in matplotlib markers instead of the reference's SVG paths and no
-  bundled fonts (the reference's emoji font is missing from its own checkout,
-  ``.MISSING_LARGE_BLOBS``) — so there are no asset dependencies;
+* original vector vehicle markers (matplotlib Path polygons, see
+  ``helicopter_marker``/``bulldozer_marker``) instead of the reference's
+  svgpath2mpl-parsed SVG assets, and no bundled fonts (the reference's emoji
+  font is missing from its own checkout, ``.MISSING_LARGE_BLOBS``) — so
+  there are no asset or package dependencies;
 * everything here is host-side numpy/matplotlib, strictly off the jit path.
 """
 
@@ -116,6 +118,52 @@ def _title(env) -> str:
 
 
 # --------------------------------------------------------------------------- #
+# Vector vehicle markers.  The reference draws agents with SVG shapes parsed
+# through svgpath2mpl (``helicopter/utils/helicopter_shape.py``,
+# ``bulldozer/utils/svg_paths.py``); that package is not in this image, so
+# these are original polygon silhouettes built directly as matplotlib Paths
+# (same capability — a recognizable vehicle instead of a builtin glyph).
+# --------------------------------------------------------------------------- #
+
+
+def _multi_polygon_path(parts):
+    from matplotlib.path import Path
+
+    verts, codes = [], []
+    for poly in parts:
+        verts.extend(list(poly) + [poly[0]])
+        codes.extend(
+            [Path.MOVETO] + [Path.LINETO] * (len(poly) - 1) + [Path.CLOSEPOLY]
+        )
+    return Path(verts, codes)
+
+
+def helicopter_marker():
+    """Top-view helicopter: fuselage, tail boom, tail rotor, two main-rotor
+    blades."""
+    return _multi_polygon_path([
+        [(-0.35, 0.0), (-0.2, 0.28), (0.15, 0.32), (0.38, 0.12),
+         (0.38, -0.12), (0.15, -0.32), (-0.2, -0.28)],
+        [(-0.85, 0.06), (-0.3, 0.1), (-0.3, -0.1), (-0.85, -0.06)],
+        [(-0.95, 0.22), (-0.82, 0.22), (-0.82, -0.22), (-0.95, -0.22)],
+        [(-0.55, 0.62), (0.62, -0.5), (0.52, -0.62), (-0.65, 0.52)],
+        [(0.52, 0.62), (0.62, 0.5), (-0.55, -0.62), (-0.65, -0.52)],
+    ])
+
+
+def bulldozer_marker():
+    """Side-view bulldozer: tracks, cab, exhaust stack, push arm, blade."""
+    return _multi_polygon_path([
+        [(-0.55, -0.6), (0.45, -0.6), (0.45, -0.15), (-0.55, -0.15)],
+        [(-0.45, -0.15), (0.1, -0.15), (0.1, 0.45), (-0.2, 0.45),
+         (-0.45, 0.2)],
+        [(-0.05, 0.45), (0.03, 0.45), (0.03, 0.7), (-0.05, 0.7)],
+        [(0.1, -0.2), (0.58, -0.1), (0.58, -0.25), (0.1, -0.35)],
+        [(0.55, -0.65), (0.72, -0.65), (0.72, 0.3), (0.55, 0.3)],
+    ])
+
+
+# --------------------------------------------------------------------------- #
 # Helicopter: single panel + agent marker (reference helicopter/utils/render.py)
 # --------------------------------------------------------------------------- #
 
@@ -134,8 +182,8 @@ def render_helicopter(env):
     cells = [env._empty, env._tree, env._fire]
     norm, cmap = get_norm_cmap(cells, [COLOR_EMPTY, COLOR_TREE, COLOR_FIRE])
     plot_grid(ax, grid, aspect="equal", norm=norm, cmap=cmap)
-    ax.plot(col, row, marker="X", markersize=24, color="0.2",
-            markeredgecolor="white", markeredgewidth=1.5)
+    ax.plot(col, row, marker=helicopter_marker(), markersize=44, color="0.15",
+            markeredgecolor="white", markeredgewidth=1.0)
     return fig
 
 
@@ -208,16 +256,16 @@ def render_bulldozer(env):
     # 1. local window (micromanagement view)
     lgrid = local_window(grid, pos, N_LOCAL, env._empty)
     plot_grid(ax_local, lgrid, interpolation="none", cmap=cmap, norm=norm)
-    ax_local.plot(N_LOCAL, N_LOCAL, marker="P", markersize=36, color="1.0",
-                  markeredgecolor="0.3")
+    ax_local.plot(N_LOCAL, N_LOCAL, marker=bulldozer_marker(), markersize=42,
+                  color="1.0", markeredgecolor="0.3")
 
     # 2. global grid (strategy view)
     ax_global.imshow(grid, interpolation="none", cmap=cmap, norm=norm)
     if pos_fseed is not None:
         ax_global.plot(pos_fseed[1], pos_fseed[0], marker="*", markersize=24,
                        color=COLOR_FIRE, markeredgecolor="0.3")
-    ax_global.plot(int(pos[1]), int(pos[0]), marker="v", markersize=20,
-                   color="1.0", markeredgecolor="0.3")
+    ax_global.plot(int(pos[1]), int(pos[0]), marker=bulldozer_marker(),
+                   markersize=22, color="1.0", markeredgecolor="0.3")
     clear_ax(ax_global)
 
     # 3. time gauge
@@ -287,8 +335,8 @@ def render_advanced(env, obs, info=None, env_idx: int = 0):
         overlay = np.zeros(dousing.shape + (4,), np.float32)
         overlay[dousing > 0] = (0.25, 0.5, 1.0, 0.6)  # water-blue tint
         ax_global.imshow(overlay, interpolation="none")
-    ax_global.plot(int(pos[1]), int(pos[0]), marker="v", markersize=18,
-                   color="1.0", markeredgecolor="0.3")
+    ax_global.plot(int(pos[1]), int(pos[0]), marker=bulldozer_marker(),
+                   markersize=20, color="1.0", markeredgecolor="0.3")
     h, w = true_grid.shape
     ang = _WIND_ANGLES[wind_index % 8]
     ax_global.annotate(
