@@ -313,10 +313,13 @@ class AdvancedForestFireBulldozerEnv:
     def _initial_per_env_state(self, key):
         """Fresh initial (cell_grid, fire_age, position) for ONE env."""
         k_grid, k_unused = jax.random.split(key)
+        # Cells {0, 1, 2} fit int8: quarters the true_grid/dousing HBM
+        # traffic and lets the fused CA kernel stream them natively.
         grid_spec = GridSpec(
             values=(self._empty, self._tree, self._fire),
             probs=(self._p_empty_init, self._p_tree_init, 0.0),
             shape=(self.nrows, self.ncols),
+            dtype=jnp.int8,
         )
         grid = grid_spec.sample(k_grid)
 
@@ -382,7 +385,7 @@ class AdvancedForestFireBulldozerEnv:
             "is_night": jnp.zeros(self.num_envs, TYPE_INT),
             "true_grid": grids,
             "time_step": jnp.ones(self.num_envs, TYPE_INT),
-            "dousing_count": jnp.zeros_like(grids, dtype=TYPE_INT),
+            "dousing_count": jnp.zeros_like(grids, dtype=jnp.int8),
         }
         context = {
             "per_env_context": per_env_context,
