@@ -72,10 +72,11 @@ def test_exp_slope_precompute_matches_inline(key):
     slope = jax.random.normal(key, (4, 6, 3, 3))
     pre = AlexandridisCA.precompute_exp_slope(slope)
     assert pre.shape == (3, 3, 4, 6)
+    # stored bf16 (static terrain, DMA-bound kernel): 8-bit mantissa
     for i in range(3):
         for j in range(3):
             np.testing.assert_allclose(
-                np.asarray(pre[i, j]),
+                np.asarray(pre[i, j]).astype(np.float32),
                 np.exp(SLOPE_COEFF * np.asarray(slope[..., i, j])),
-                rtol=1e-6,
+                rtol=5e-3,
             )
