@@ -117,14 +117,9 @@ def _windy_sparse_kernel(
     p_ref,  # (B, 1, 16) int32 SMEM — CLASS-SORTED slots:
     #         [env, row, col, shoot, w0..w7, pad]; slots [0, n_ca) are CA
     #         envs, [n_ca, n_active) are modify-only envs, the rest unused
-    pv_ref,  # (B, 128) int32 VMEM — per-slot coords as vector data
-    #         (lane 0 = row, lane 1 = col): SMEM scalars cannot feed vector
-    #         lanes, and this lets ALL modify-slot tile edits run as one
-    #         batched vector pass instead of per-slot scalar flows
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
     cnt_ref,  # (B, 1, 4) int32 SMEM — [tree, fire, hit, 0] in SLOT order;
-    #          WRITTEN ONLY for CA slots (modify hits are computed on the
-    #          XLA side from a pre-kernel cell gather)
+    #          WRITTEN ONLY for active slots (CA: all three; modify: hit)
     g_vmem,  # (B, H, W) scratch — per-slot grid buffers
     tiles_vmem,  # (B, tile_r, 128) scratch — per-slot Modify tiles
     sem_full,  # DMA((B,))
@@ -203,33 +198,21 @@ def _windy_sparse_kernel(
         cnt_ref[b, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
         cnt_ref[b, 0, 2] = hit_i
 
+    def _modify_only(b):
+        row, col = p_ref[b, 0, 1], p_ref[b, 0, 2]
+        tile_copy(b, inbound=True).wait()
+        t = tiles_vmem[b].astype(jnp.int32)
+        rt = (row // tile_r) * tile_r
+        ct = (col // _TILE_C) * _TILE_C
+        trs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0) + rt
+        tcs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1) + ct
+        hit_arr = (trs == row) & (tcs == col) & (t == tree)
+        tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
+        tile_copy(b, inbound=False).start()
+        cnt_ref[b, 0, 2] = jnp.sum(hit_arr.astype(jnp.int32))
+
     foreach(0, n0, _full_update)
-
-    # Modify slots: wait for every inbound tile, edit ALL of them in one
-    # vector pass (per-slot row/col broadcast from the VMEM coord table —
-    # the per-slot scalar flow was DMA-issue/scalar-bound at ~170 ns/env),
-    # then start the write-backs.  No counts here: the XLA side already
-    # knows each modify env's cell value.
-    foreach(n0, n1, lambda b: tile_copy(b, inbound=True).wait())
-
-    t32 = tiles_vmem[...].astype(jnp.int32)  # (B, tile_r, 128)
-    slot3 = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 0)
-    trs3 = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 1)
-    tcs3 = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 2)
-    pv = pv_ref[...]  # (B, 128): lane 0 = row, lane 1 = col
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 1)
-    rowv = jnp.max(jnp.where(lanes2 == 0, pv, 0), axis=1)[:, None, None]
-    colv = jnp.max(jnp.where(lanes2 == 1, pv, 0), axis=1)[:, None, None]
-    hit3 = (
-        (slot3 >= n0)
-        & (slot3 < n1)
-        & (trs3 == rowv % tile_r)
-        & (tcs3 == colv % _TILE_C)
-        & (t32 == tree)
-    )
-    tiles_vmem[...] = jnp.where(hit3, empty, t32).astype(tiles_vmem.dtype)
-
-    foreach(n0, n1, lambda b: tile_copy(b, inbound=False).start())
+    foreach(n0, n1, _modify_only)
 
     # Phase C: drain outbound writes.
     foreach(0, n0, lambda b: grid_copy(b, inbound=False).wait())
@@ -334,16 +317,6 @@ def windy_fused_step(
         ],
         axis=-1,
     )[perm][:, None, :]  # (N, 1, 16), slot order
-    # Vector-lane coord table for the batched modify pass (lane 0 = row,
-    # lane 1 = col), and the XLA-side hit computation: reading one cell per
-    # env is a cheap gather (~7 ns/env) and for NON-CA envs the grid does
-    # not change this step, so the pre-kernel cell value decides the hit.
-    pv = jnp.zeros((n, _TILE_C), jnp.int32)
-    pv = pv.at[:, 0].set(packed[:, 0, 1]).at[:, 1].set(packed[:, 0, 2])
-    cells = jax.vmap(
-        lambda g, r, c: jax.lax.dynamic_slice(g, (r, c), (1, 1))
-    )(grid, params[:, 1].astype(jnp.int32), params[:, 2].astype(jnp.int32))
-    mod_hit = is_modify & (cells[:, 0, 0].astype(jnp.int32) == tree)
     new_grid, counts_slot = pl.pallas_call(
         kernel,
         grid=(n // B,),
@@ -351,7 +324,6 @@ def windy_fused_step(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, _TILE_C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -373,11 +345,7 @@ def windy_fused_step(
             flops=n * h * w * 6, bytes_accessed=n * h * w, transcendentals=0
         ),
         interpret=interpret,
-    )(grid, bounds, packed, pv)
-    # Undo the class partition: env e's counts live at slot slot_of_env[e];
-    # modify-env hits were computed from the pre-kernel cell gather.
+    )(grid, bounds, packed)
+    # Undo the class partition: env e's counts live at slot slot_of_env[e].
     counts = counts_slot[:, 0, :][slot_of_env]
-    counts = counts.at[:, 2].set(
-        jnp.where(is_modify, mod_hit.astype(jnp.int32), counts[:, 2])
-    )
     return new_grid, counts
