@@ -1,21 +1,33 @@
 #!/usr/bin/env python
 """Headline benchmark: aggregate env-steps/s on ForestFireBulldozer256x256.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints JSON metric lines (headline LAST so `tail -1` parsing still works):
+  {"metric": "advanced256_env_steps_per_sec", ...}   # flagship physics
+  {"metric": "bulldozer256_env_steps_per_sec", ...}  # headline
 
-* value: aggregate random-policy env-steps/s of the TPU-native vmapped
-  Bulldozer (full MDP: windy CA + RepeatCA + MoveModify + reward/done),
-  batched on one chip.
+* headline value: aggregate random-policy env-steps/s of the TPU-native
+  vmapped Bulldozer (full MDP: windy CA + RepeatCA + MoveModify +
+  reward/done), batched on one chip.
+* advanced value: the production training physics — AdvancedBulldozer
+  (Alexandridis CA via the fused Pallas kernel where supported, RGB
+  observations, conditional auto-reset), 64 envs at 256².
 * vs_baseline: ratio vs the reference's architecture on the same host — the
   reference's NumPy/SciPy stack is single-env with no batching
   (SURVEY.md §2.10), so its ceiling is one scipy-convolution env stepped in a
   Python loop.  A faithful reimplementation of that step (scipy convolve2d +
   threshold decode, ca_windy.py:41-139 semantics) is measured here as the
-  baseline.  Set GYMCA_BENCH_BASELINE_SPS to skip re-measuring.
+  baseline.  Set GYMCA_BENCH_BASELINE_SPS to skip re-measuring.  For the
+  Advanced metric the baseline is the reference's own JAX Advanced env,
+  measured at 335 ms/step for 8 envs on this chip (BASELINE.md) — 24
+  env-steps/s, overridable via GYMCA_BENCH_ADV_BASELINE_SPS.
 
-Env knobs: GYMCA_BENCH_SIZE (default 256), GYMCA_BENCH_ENVS (default 1024),
-GYMCA_BENCH_STEPS (default 30), --smoke for a tiny CPU-safe run.
+Per-phase diagnostics (device kind, path taken, compile time, every rep
+time, done fraction) go to stderr so any captured number is
+self-explaining.
+
+Env knobs: GYMCA_BENCH_SIZE (default 256), GYMCA_BENCH_ENVS (default 4096),
+GYMCA_BENCH_STEPS (default 1000), GYMCA_BENCH_ADV=0 to skip the advanced
+metric, --smoke for a tiny CPU-safe run.
 """
 
 from __future__ import annotations
@@ -41,7 +53,16 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
 
     # Fused sparse Pallas path when the grid supports it (one CA application
     # per step + tile-aligned); falls back to vmapped XLA.
-    step = core.step_batched if core.supports_fused_step() else jax.vmap(core.step)
+    fused = core.supports_fused_step()
+    step = core.step_batched if fused else jax.vmap(core.step)
+    print(
+        f"[bench] device={jax.devices()[0].device_kind} backend="
+        f"{jax.default_backend()} path="
+        f"{'sparse-pallas-kernel' if fused else 'vmapped-XLA'} "
+        f"grid_dtype={core._grid_dtype} size={size} envs={num_envs} "
+        f"steps={steps}",
+        file=sys.stderr,
+    )
 
     # Multi-chip: shard the env batch over every available device and run
     # the same step per shard (shard_map — the Pallas kernel is per-device).
@@ -88,8 +109,11 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
     # tunneled single-chip setups.  Every rep restarts from the SAME freshly
     # reset states: carrying state across reps would let episodes finish and
     # freeze (no-op steps), quietly inflating the number.
+    t0 = time.perf_counter()
     s, rewards = run(states, key)
     _ = float(rewards[-1])
+    print(f"[bench] compile+first-run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     s, rewards = run(states, jax.random.fold_in(key, 1))
     _ = float(rewards[-1])
     reps = 3
@@ -98,10 +122,68 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
         t0 = time.perf_counter()
         s, rewards = run(states, jax.random.fold_in(key, 2 + i))
         _ = float(rewards[-1])
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        print(f"[bench] rep {i}: {dt*1e3:.1f} ms "
+              f"({num_envs * steps / dt:,.0f} steps/s)", file=sys.stderr)
+        best = min(best, dt)
     done_frac = float(jnp.mean(s.done.astype(jnp.float32)))
     print(f"[bench] done fraction after {steps} steps: {done_frac:.3f}",
           file=sys.stderr)
+    return (num_envs * steps) / best
+
+
+def measure_advanced(size: int, num_envs: int, steps: int,
+                     smoke: bool = False) -> float:
+    """Flagship physics: AdvancedBulldozer (Alexandridis CA, RGB obs,
+    conditional auto-reset), fused Pallas CA where the grid supports it.
+    Workload per reference advanced_bulldozer.py:332-399 (stateless_step)
+    + :422-518 (conditional_reset)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
+
+    env = AdvancedForestFireBulldozerEnv(
+        size, size, key=jax.random.key(0), num_envs=num_envs,
+        use_pallas_ca=not smoke,  # falls back (with a warning) if unsupported
+    )
+    print(
+        f"[bench] advanced path="
+        f"{'fused-pallas-ca' if env.use_pallas_ca else 'XLA-ca'} "
+        f"size={size} envs={num_envs} steps={steps}",
+        file=sys.stderr,
+    )
+    obs, info = env.reset()
+
+    @jax.jit
+    def run(obs, info, key):
+        def body(carry, k):
+            obs, info = carry
+            acts = jnp.stack(
+                [jax.random.randint(k, (num_envs,), 0, 9),
+                 jax.random.randint(jax.random.fold_in(k, 1), (num_envs,), 0, 2),
+                 jnp.zeros((num_envs,), jnp.int32)], axis=1)
+            step_tuple = env.stateless_step(acts, obs, info)
+            obs2, _, _, _, info2 = env.conditional_reset(step_tuple, acts)
+            return (obs2, info2), step_tuple[1].sum()
+
+        (obs, info), r = jax.lax.scan(
+            body, (obs, info), jax.random.split(key, steps))
+        return r[-1:]
+
+    t0 = time.perf_counter()
+    _ = float(run(obs, info, jax.random.key(1))[0])
+    print(f"[bench] advanced compile+first-run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    _ = float(run(obs, info, jax.random.key(2))[0])
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(obs, info, jax.random.key(3 + i))[0])
+        dt = time.perf_counter() - t0
+        print(f"[bench] advanced rep {i}: {dt*1e3:.1f} ms "
+              f"({num_envs * steps / dt:,.0f} steps/s)", file=sys.stderr)
+        best = min(best, dt)
     return (num_envs * steps) / best
 
 
@@ -182,6 +264,23 @@ def main():
         f"single-env: {baseline:,.0f} steps/s",
         file=sys.stderr,
     )
+
+    # Flagship physics metric (secondary line, printed BEFORE the headline so
+    # tail-1 parsers still pick up the headline).  Reference baseline: the
+    # reference's own JAX Advanced env measured on this chip at 335 ms per
+    # 8-env step => 23.9 env-steps/s (BASELINE.md, same harness).
+    if os.environ.get("GYMCA_BENCH_ADV", "1") != "0":
+        adv_envs = int(os.environ.get("GYMCA_BENCH_ADV_ENVS", 8 if smoke else 64))
+        adv_steps = 10 if smoke else 1000
+        adv_size = min(size, 64) if smoke else size
+        adv_value = measure_advanced(adv_size, adv_envs, adv_steps, smoke=smoke)
+        adv_base = float(os.environ.get("GYMCA_BENCH_ADV_BASELINE_SPS", 23.9))
+        print(json.dumps({
+            "metric": f"advanced{adv_size}_env_steps_per_sec",
+            "value": round(adv_value, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(adv_value / adv_base, 2),
+        }))
 
     print(json.dumps({
         "metric": f"bulldozer{size}_env_steps_per_sec",
