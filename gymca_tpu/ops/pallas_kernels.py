@@ -111,14 +111,54 @@ def _banded_signal(g, weights, empty: int):
     return signal, rows, cols
 
 
+def _gusted_fire_neighbors(g32, fire_m, gates, masks):
+    """'Any gusted fire neighbor' as a factored boolean stencil.
+
+    The windy conv decode (``ops/windy.py:56-66`` encoding proof) reduces to
+    a per-cell boolean: a tree burns iff SOME Moore neighbor is fire AND
+    that direction's gust succeeded (gusted tree neighbors contribute at
+    most 8*8*3 = 192 < 200 to the score, so only fire neighbors can cross
+    the propagate break).  Computing that boolean directly replaces the
+    8 weight-MAC passes of the banded signal with bitwise AND/OR, and —
+    the bigger win — lets the three row bands be combined per COLUMN SHIFT
+    before shifting: 4 rolls + 4 edge selects instead of 8 + 8.
+
+    ``fire_m``: (h, w) int32, -1 where fire else 0.  ``gates``: dict mapping
+    Moore offset -> 0/-1 int32 scalar (gust success).  ``masks``: the
+    (r_lt, r_ge, c_lt, c_ge) edge masks (hoisted by the caller).  Returns
+    (h, w) int32, nonzero where some gusted fire neighbor exists.
+    """
+    h, w = g32.shape
+    r_lt, r_ge, c_lt, c_ge = masks
+    zero = jnp.zeros((), jnp.int32)
+    # Row bands of the fire mask (offset (dr, *) reads g[r+dr']? — offset
+    # (dr, dc) means the neighbor at (r-dr, c-dc) sees THIS cell; matching
+    # _banded_signal, band dr=+1 holds g[r+1] etc.).
+    bu = jnp.where(r_lt, pltpu.roll(fire_m, h - 1, 0), zero)  # g[r+1]
+    bd = jnp.where(r_ge, pltpu.roll(fire_m, 1, 0), zero)  # g[r-1]
+    # Combine the three bands per column shift BEFORE the (lane-axis) roll.
+    pre_p = (
+        (bu & gates[(1, 1)]) | (fire_m & gates[(0, 1)]) | (bd & gates[(-1, 1)])
+    )
+    pre_m = (
+        (bu & gates[(1, -1)])
+        | (fire_m & gates[(0, -1)])
+        | (bd & gates[(-1, -1)])
+    )
+    acc = (bu & gates[(1, 0)]) | (bd & gates[(-1, 0)])
+    acc = acc | jnp.where(c_lt, pltpu.roll(pre_p, w - 1, 1), zero)
+    acc = acc | jnp.where(c_ge, pltpu.roll(pre_m, 1, 1), zero)
+    return acc
+
+
 def _windy_sparse_kernel(
     grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
-    b_ref,  # (1, 1, 4) int32 SMEM — [n_ca, n_active, 0, 0], replicated
-    p_ref,  # (B, 1, 16) int32 SMEM — CLASS-SORTED slots:
-    #         [env, row, col, shoot, w0..w7, pad]; slots [0, n_ca) are CA
-    #         envs, [n_ca, n_active) are modify-only envs, the rest unused
+    b_ref,  # (1, 1, 4) int32 SMEM — THIS program's [n0, n1, 0, 0]
+    p_ref,  # (B, 1, 16) int32 SMEM — this program's slots, CLASS-SORTED:
+    #         [env, row, col, shoot, w0..w7, pad]; slots [0, n0) are CA
+    #         envs, [n0, n1) are modify-only envs, the rest unused
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
-    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree, fire, hit, 0] in SLOT order;
+    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree, fire, hit, 0] in slot order;
     #          WRITTEN ONLY for active slots (CA: all three; modify: hit)
     g_vmem,  # (B, H, W) scratch — per-slot grid buffers
     tiles_vmem,  # (B, tile_r, 128) scratch — per-slot Modify tiles
@@ -131,37 +171,61 @@ def _windy_sparse_kernel(
     envs_per_program: int,
     tile_r: int,
 ):
-    """Class-sorted sparse step: one grid program handles ``envs_per_program``
-    SLOTS of the XLA-sorted work list (CA updates first, then tile-Modifies;
-    skipped envs never reach the kernel at all).
+    """Class-balanced sparse step: one grid program handles
+    ``envs_per_program`` SLOTS of the XLA-partitioned work list (CA updates
+    first, then tile-Modifies; skipped envs never reach the kernel at all).
 
     Why sorted indirection: the per-env scalar-core cost of *checking* what
     each env needs (~125 ns for the branch predicates + SMEM reads) was the
     throughput floor of the unsorted kernel — with ~57% of envs doing
     nothing, reading ``do_ca``/``shoot`` for all N envs cost more than the
-    actual work.  Sorting the work list on the XLA side (vector argsort)
+    actual work.  Partitioning the work list on the XLA side (cumsum ranks)
     turns that into ONE bounds comparison per slot, and grids are fetched by
     the env index carried in the slot (dynamic-index DMA), so grid data
     never moves to make the list contiguous.
+
+    Why ROUND-ROBIN slot->program placement (slot s -> program s % P): a
+    front-packed placement concentrates every CA slot in the first few
+    programs and every Modify slot in the next few, so the CA programs'
+    vector-heavy compute and the Modify programs' scalar/DMA-issue flows
+    SERIALIZE across the program sequence.  Interleaving the classes gives
+    every program ~n_ca/P CA slots and ~n_mod/P modify slots, so the modify
+    tiles' DMA latency rides under the same program's CA stencils and the
+    waits land on long-completed transfers.  (Batch-waiting a shared DMA
+    semaphore was tried instead: ``semaphore_wait`` only accepts REGULAR/
+    BARRIER semaphores — DMA sems count bytes and must be waited per
+    descriptor.)
     """
     B = envs_per_program
-    base = pl.program_id(0) * B
     # This program's slot ranges: CA slots [0, n0), modify slots [n0, n1).
     # Zero-trip loops make idle blocks (and the whole noop tail of the
-    # sorted list) essentially free — the unrolled-`pl.when` formulation
+    # partition) essentially free — the unrolled-`pl.when` formulation
     # paid ~15-20 scalar-core cycles per predicated REGION, ~0.1 us per env
     # even when every env was a no-op.
-    n0 = jnp.clip(b_ref[0, 0, 0] - base, 0, B)
-    n1 = jnp.clip(b_ref[0, 0, 1] - base, 0, B)
+    n0 = b_ref[0, 0, 0]
+    n1 = b_ref[0, 0, 1]
 
     def tile_copy(b, inbound):
-        e, row, col = p_ref[b, 0, 0], p_ref[b, 0, 1], p_ref[b, 0, 2]
-        rt = pl.multiple_of((row // tile_r) * tile_r, tile_r)
-        ct = pl.multiple_of((col // _TILE_C) * _TILE_C, _TILE_C)
+        # rt/ct are tile-aligned bases PRECOMPUTED on the XLA side (packed
+        # slots 12/13) — in-kernel div/mul per descriptor cost real scalar
+        # cycles at ~150 ns/modify-env budgets.
+        e = p_ref[b, 0, 0]
+        rt = pl.multiple_of(p_ref[b, 0, 12], tile_r)
+        ct = pl.multiple_of(p_ref[b, 0, 13], _TILE_C)
         hbm = out_hbm.at[e, pl.ds(rt, tile_r), pl.ds(ct, _TILE_C)]
         vmem = tiles_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
         return pltpu.make_async_copy(src, dst, sem_tiles.at[b])
+
+    def tile_wait(b):
+        # A DMA wait consumes only (semaphore, byte count) — a static-
+        # address descriptor of the same shape avoids re-reading the slot's
+        # coords from SMEM just to rebuild addressing the wait ignores.
+        return pltpu.make_async_copy(
+            out_hbm.at[0, pl.ds(0, tile_r), pl.ds(0, _TILE_C)],
+            tiles_vmem.at[b],
+            sem_tiles.at[b],
+        ).wait()
 
     def grid_copy(b, inbound):
         e = p_ref[b, 0, 0]
@@ -169,6 +233,11 @@ def _windy_sparse_kernel(
         vmem = g_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
         return pltpu.make_async_copy(src, dst, sem_full.at[b])
+
+    def grid_wait(b):
+        return pltpu.make_async_copy(
+            grid_hbm.at[0], g_vmem.at[b], sem_full.at[b]
+        ).wait()
 
     def foreach(lo, hi, body):
         jax.lax.fori_loop(lo, hi, lambda b, c: (body(b), c)[1], 0)
@@ -178,45 +247,70 @@ def _windy_sparse_kernel(
     foreach(0, n0, lambda b: grid_copy(b, inbound=True).start())
     foreach(n0, n1, lambda b: tile_copy(b, inbound=True).start())
 
+    # Hoisted per-program constants: one iota/edge-mask set shared by every
+    # slot (they were rebuilt inside each slot's stencil before — ~6 wasted
+    # vector passes per CA slot).
+    h, w = g_vmem.shape[1], g_vmem.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    masks = (rows < h - 1, rows >= 1, cols < w - 1, cols >= 1)
+
     # Phase B: per-slot work.  Each slot owns a grid buffer, so all CA reads
     # stream concurrently while earlier slots compute.
     def _full_update(b):
         row, col, shoot = p_ref[b, 0, 1], p_ref[b, 0, 2], p_ref[b, 0, 3]
-        grid_copy(b, inbound=True).wait()
+        grid_wait(b)
         g = g_vmem[b].astype(jnp.int32)
-        ws = [p_ref[b, 0, 4 + i] for i in range(8)]
-        signal, rows, cols = _banded_signal(g, ws, empty)
-        ca = _ca_decode(signal, g, empty, tree, fire)
-
-        tree_mask = ca == tree
+        gates = {
+            off: -(p_ref[b, 0, 4 + i] > 0).astype(jnp.int32)
+            for i, off in enumerate(NEIGHBOR_OFFSETS)
+        }
+        fire_m = jnp.where(g == fire, -1, 0)
+        acc = _gusted_fire_neighbors(g, fire_m, gates, masks)
+        # Decode (bit-identical to _ca_decode on the banded signal —
+        # encoding proof in _gusted_fire_neighbors' docstring): fire ->
+        # empty; tree -> fire iff gusted fire neighbor else tree; else
+        # empty.  Grid cells only ever hold {empty, tree, fire}.
+        tree_old = g == tree
+        burn = acc != 0
+        tree_mask = tree_old & jnp.logical_not(burn)  # trees on NEW grid
         hit_arr = (rows == row) & (cols == col) & tree_mask & (shoot > 0)
-        g_vmem[b] = jnp.where(hit_arr, empty, ca).astype(g_vmem.dtype)
+        new = jnp.where(
+            tree_old & burn,
+            fire,
+            jnp.where(tree_mask & jnp.logical_not(hit_arr), tree, empty),
+        )
+        g_vmem[b] = new.astype(g_vmem.dtype)
         grid_copy(b, inbound=False).start()
 
         hit_i = jnp.sum(hit_arr.astype(jnp.int32))
         cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
-        cnt_ref[b, 0, 1] = jnp.sum((ca == fire).astype(jnp.int32))
+        cnt_ref[b, 0, 1] = jnp.sum((tree_old & burn).astype(jnp.int32))
         cnt_ref[b, 0, 2] = hit_i
 
+    foreach(0, n0, _full_update)
+
+    # Phase B2: per-slot modify edits.  The inbound tile DMAs were started
+    # in Phase A and the CA stencils above give them plenty of time to
+    # land, so the waits are issue-cost only.
+    trs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0)
+    tcs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1)
+
     def _modify_only(b):
-        row, col = p_ref[b, 0, 1], p_ref[b, 0, 2]
-        tile_copy(b, inbound=True).wait()
+        # In-tile coords precomputed XLA-side (packed slots 14/15).
+        row_t, col_t = p_ref[b, 0, 14], p_ref[b, 0, 15]
+        tile_wait(b)
         t = tiles_vmem[b].astype(jnp.int32)
-        rt = (row // tile_r) * tile_r
-        ct = (col // _TILE_C) * _TILE_C
-        trs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 0) + rt
-        tcs = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1) + ct
-        hit_arr = (trs == row) & (tcs == col) & (t == tree)
+        hit_arr = (trs0 == row_t) & (tcs0 == col_t) & (t == tree)
         tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
         tile_copy(b, inbound=False).start()
         cnt_ref[b, 0, 2] = jnp.sum(hit_arr.astype(jnp.int32))
 
-    foreach(0, n0, _full_update)
     foreach(n0, n1, _modify_only)
 
     # Phase C: drain outbound writes.
-    foreach(0, n0, lambda b: grid_copy(b, inbound=False).wait())
-    foreach(n0, n1, lambda b: tile_copy(b, inbound=False).wait())
+    foreach(0, n0, grid_wait)
+    foreach(n0, n1, tile_wait)
 
 
 _VMEM_BUDGET = 8 * 1024 * 1024  # all per-env grid slots together fit this
@@ -277,14 +371,14 @@ def windy_fused_step(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
         envs_per_program=B, tile_r=tile_r,
     )
+    P = n // B  # number of programs
     do_ca = params[:, 0] > 0
     shoot = params[:, 3] > 0
     is_modify = jnp.logical_not(do_ca) & shoot
     # Stable class partition of the work list (CA | modify | noop) WITHOUT a
-    # sort: three cumsums give each env its slot, one scatter of the env ids
-    # inverts it.  (argsort cost ~150 us at N=4096 on TPU; cumsum+scatter is
-    # a handful of vector passes.)  Slot order within a class follows env
-    # order, so the partition is deterministic.
+    # sort: three cumsums give each env its slot.  (argsort cost ~150 us at
+    # N=4096 on TPU; cumsums are a handful of vector passes.)  Slot order
+    # within a class follows env order, so the partition is deterministic.
     ca_i = do_ca.astype(jnp.int32)
     mod_i = is_modify.astype(jnp.int32)
     noop_i = 1 - ca_i - mod_i
@@ -295,34 +389,53 @@ def windy_fused_step(
         + mod_i * (n_ca + jnp.cumsum(mod_i) - 1)
         + noop_i * (n_active + jnp.cumsum(noop_i) - 1)
     )
-    perm = jnp.zeros((n,), jnp.int32).at[slot_of_env].set(
+    # Round-robin slot -> (program, position) placement: slot s lands in
+    # program s % P at position s // P.  Classes stay contiguous per program
+    # (positions of s === p in [0, n_ca) are exactly [0, n0_p)), but every
+    # program gets an even mix of CA and modify work — see the kernel
+    # docstring for why that matters.  Kernel-table row for slot s:
+    table_row_of_slot = (slot_of_env % P) * B + slot_of_env // P
+    perm = jnp.zeros((n,), jnp.int32).at[table_row_of_slot].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True
     )
-    bounds = jnp.stack([n_ca, n_active, jnp.zeros((), jnp.int32),
-                        jnp.zeros((), jnp.int32)])[None, None, :]
+    # Per-program class bounds: n0_p = |{s < n_ca : s === p (mod P)}|,
+    # n1_p = |{s < n_active : s === p}|.
+    p_ids = jnp.arange(P, dtype=jnp.int32)
+    n0_p = (n_ca - p_ids + P - 1) // P
+    n1_p = (n_active - p_ids + P - 1) // P
+    bounds = jnp.stack(
+        [n0_p, n1_p, jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32)],
+        axis=-1,
+    )[:, None, :]  # (P, 1, 4)
     env_ids = jnp.arange(n, dtype=jnp.int32)
+    row_i = params[:, 1].astype(jnp.int32)
+    col_i = params[:, 2].astype(jnp.int32)
     packed = jnp.concatenate(
         [
+            jnp.stack([env_ids, row_i, col_i, params[:, 3].astype(jnp.int32)],
+                      axis=-1),
+            weights.astype(jnp.int32),
+            # Modify-tile addressing precomputed here (vector ops) instead
+            # of per-slot scalar div/mod on the kernel's scalar core:
+            # [rt, ct, row_in_tile, col_in_tile].
             jnp.stack(
                 [
-                    env_ids,
-                    params[:, 1].astype(jnp.int32),
-                    params[:, 2].astype(jnp.int32),
-                    params[:, 3].astype(jnp.int32),
+                    (row_i // tile_r) * tile_r,
+                    (col_i // _TILE_C) * _TILE_C,
+                    row_i % tile_r,
+                    col_i % _TILE_C,
                 ],
                 axis=-1,
             ),
-            weights.astype(jnp.int32),
-            jnp.zeros((n, 4), jnp.int32),
         ],
         axis=-1,
-    )[perm][:, None, :]  # (N, 1, 16), slot order
+    )[perm][:, None, :]  # (N, 1, 16), kernel-table order
     new_grid, counts_slot = pl.pallas_call(
         kernel,
-        grid=(n // B,),
+        grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -346,6 +459,7 @@ def windy_fused_step(
         ),
         interpret=interpret,
     )(grid, bounds, packed)
-    # Undo the class partition: env e's counts live at slot slot_of_env[e].
-    counts = counts_slot[:, 0, :][slot_of_env]
+    # Undo the partition: env e's counts live at kernel-table row
+    # (slot % P) * B + slot // P.
+    counts = counts_slot[:, 0, :][table_row_of_slot]
     return new_grid, counts

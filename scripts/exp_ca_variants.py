@@ -43,42 +43,93 @@ def kernel_banded(g_ref, w_ref, out_ref, cnt_ref):
 
 
 def kernel_bool(g_ref, w_ref, out_ref, cnt_ref):
-    """Boolean rule on int8: roll fire mask, gate by per-direction success."""
-    g = g_ref[0]  # int8
-    fire_mask = (g == FIRE).astype(jnp.int8)
+    """Boolean rule in int32 domain (Mosaic rolls need 32-bit data): roll
+    the fire mask, gate each direction by its gust-success bit (AND with a
+    0/-1 broadcast), OR-accumulate 'any gusted fire neighbor'."""
+    g = g_ref[0].astype(jnp.int32)  # int8 -> int32 lanes
+    fire_mask = jnp.where(g == FIRE, -1, 0)
     h, w = g.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     r_lt, r_ge = rows < h - 1, rows >= 1
     c_lt, c_ge = cols < w - 1, cols >= 1
-    zero8 = jnp.zeros((), jnp.int8)
+    zero = jnp.zeros((), jnp.int32)
 
-    acc = jnp.zeros((h, w), jnp.int8)
     from gymca_tpu.ops.pallas_kernels import _WIDX
+
+    def gate(d):  # 0 or -1 (all-ones) int32 scalar
+        return -(w_ref[0, 0, _WIDX[d]] > 0).astype(jnp.int32)
+
+    acc = jnp.zeros((h, w), jnp.int32)
     for dr in (1, 0, -1):
         if dr == 1:
-            band = jnp.where(r_lt, pltpu.roll(fire_mask, h - 1, 0), zero8)
+            band = jnp.where(r_lt, pltpu.roll(fire_mask, h - 1, 0), zero)
         elif dr == -1:
-            band = jnp.where(r_ge, pltpu.roll(fire_mask, 1, 0), zero8)
+            band = jnp.where(r_ge, pltpu.roll(fire_mask, 1, 0), zero)
         else:
             band = fire_mask
         if dr != 0:
-            acc = acc | (band * w_ref[0, 0, _WIDX[(dr, 0)]].astype(jnp.int8))
+            acc = acc | (band & gate((dr, 0)))
         acc = acc | (
-            jnp.where(c_lt, pltpu.roll(band, w - 1, 1), zero8)
-            * w_ref[0, 0, _WIDX[(dr, 1)]].astype(jnp.int8)
+            jnp.where(c_lt, pltpu.roll(band, w - 1, 1), zero) & gate((dr, 1))
         )
         acc = acc | (
-            jnp.where(c_ge, pltpu.roll(band, 1, 1), zero8)
-            * w_ref[0, 0, _WIDX[(dr, -1)]].astype(jnp.int8)
+            jnp.where(c_ge, pltpu.roll(band, 1, 1), zero) & gate((dr, -1))
         )
     tree_mask = g == TREE
     new = jnp.where(
-        fire_mask.astype(bool),
-        jnp.asarray(EMPTY, jnp.int8),
-        jnp.where(tree_mask & (acc > 0), jnp.asarray(FIRE, jnp.int8), g),
+        fire_mask != 0,
+        EMPTY,
+        jnp.where(tree_mask & (acc != 0), FIRE, g),
     )
-    out_ref[0] = new
+    out_ref[0] = new.astype(out_ref.dtype)
+    cnt_ref[0, 0, 0] = jnp.sum((new == TREE).astype(jnp.int32))
+    cnt_ref[0, 0, 1] = jnp.sum((new == FIRE).astype(jnp.int32))
+
+
+def kernel_fma(g_ref, w_ref, out_ref, cnt_ref):
+    """Banded signal in f32 so weight-MAC pairs can fuse into VPU FMAs
+    (exact: signal < 2^17 << 2^24).  Same decode thresholds."""
+    g = g_ref[0].astype(jnp.float32)
+    ws = [w_ref[0, 0, i].astype(jnp.float32) for i in range(8)]
+    h, w = g.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    r_lt, r_ge = rows < h - 1, rows >= 1
+    c_lt, c_ge = cols < w - 1, cols >= 1
+    zero = jnp.zeros((), jnp.float32)
+
+    from gymca_tpu.ops.pallas_kernels import _WIDX
+
+    def roll_f(x, shift, axis):
+        return pltpu.roll(x, shift, axis)
+
+    signal = float(2**11) * g
+    for dr in (1, 0, -1):
+        if dr == 1:
+            band = jnp.where(r_lt, roll_f(g, h - 1, 0), zero)
+        elif dr == -1:
+            band = jnp.where(r_ge, roll_f(g, 1, 0), zero)
+        else:
+            band = g
+        if dr != 0:
+            signal = signal + ws[_WIDX[(dr, 0)]] * band
+        signal = signal + ws[_WIDX[(dr, 1)]] * jnp.where(
+            c_lt, roll_f(band, w - 1, 1), zero
+        )
+        signal = signal + ws[_WIDX[(dr, -1)]] * jnp.where(
+            c_ge, roll_f(band, 1, 1), zero
+        )
+    from gymca_tpu.ops.windy import windy_breaks
+
+    b = windy_breaks(EMPTY, TREE, FIRE)
+    new = jnp.where(
+        signal >= b.consume,
+        EMPTY,
+        jnp.where(signal >= b.propagate, FIRE,
+                  jnp.where(signal >= b.keep, TREE, EMPTY)),
+    )
+    out_ref[0] = new.astype(out_ref.dtype)
     cnt_ref[0, 0, 0] = jnp.sum((new == TREE).astype(jnp.int32))
     cnt_ref[0, 0, 1] = jnp.sum((new == FIRE).astype(jnp.int32))
 
@@ -135,15 +186,22 @@ def main():
 
     rb = run_variant(kernel_bool, grid8, w_01)
     dt = timeit(rb, grid8, w_01)
-    print(f"B boolean int8 pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
+    print(f"B boolean int32 pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
+          f"({dt*1e6:7.1f} us/step)", flush=True)
+
+    rc = run_variant(kernel_fma, grid8, w_prop)
+    dt = timeit(rc, grid8, w_prop)
+    print(f"C f32-FMA banded pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
           f"({dt*1e6:7.1f} us/step)", flush=True)
 
     # parity check
     ga, _ = ra(grid8, w_prop)
     gb, _ = rb(grid8, w_01)
+    gc, _ = rc(grid8, w_prop)
     import numpy as np
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
-    print("parity A == B over", STEPS, "steps OK")
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gc))
+    print("parity A == B == C over", STEPS, "steps OK")
 
 
 if __name__ == "__main__":
