@@ -129,6 +129,10 @@ class BulldozerMDP(Operator):
             "pos_fire": context["pos_fire"],  # episode constant (for render)
             "tree_count": jnp.sum(grid == self.tree).astype(TYPE_INT),
             "fire_count": jnp.sum(grid == self.fire).astype(TYPE_INT),
+            # Eager path: Modify writes land in the grid immediately, so the
+            # deferred-edit log is threaded through empty.
+            "edit_log": context["edit_log"],
+            "edit_count": context["edit_count"],
         }
 
 
@@ -201,6 +205,18 @@ class BulldozerCore(CAEnvCore):
         # for small grids where per-step time exceeds one CA period.
         max_step_time = self._t_act_move + self._t_act_shoot + t_any
         max_repeats = max(int(math.floor(1.0 + max_step_time)), 1)
+
+        # Deferred-edit log capacity for the fused batched step: every
+        # logged edit comes from a shoot step that did NOT cross a CA period,
+        # and each such step advances accu_time by at least
+        # delta = t_shoot + t_any, so at most floor(1/delta) edits can
+        # accumulate between CA applications (the crossing step's shot is
+        # handled in-kernel).  +1 headroom; overflow (possible only when the
+        # cap binds) falls back to the kernel's eager modify class.
+        delta = self._t_act_shoot + t_any
+        self._edit_log_k = (
+            0 if delta <= 0 else min(int(math.floor(1.0 / delta)) + 1, 64)
+        )
 
         def t_acting(action):
             return (
@@ -294,6 +310,11 @@ class BulldozerCore(CAEnvCore):
             ),
             "tree_count": jnp.sum(grid == self._tree).astype(TYPE_INT),
             "fire_count": jnp.sum(grid == self._fire).astype(TYPE_INT),
+            # Write-back log of deferred Modify cell writes (fused batched
+            # path only; the eager paths keep it empty).  Packed row|col<<16
+            # words; entries [0, edit_count) are pending.
+            "edit_log": jnp.zeros((self._edit_log_k,), jnp.int32),
+            "edit_count": jnp.asarray(0, jnp.int32),
         }
         return EnvState(
             grid=grid,
@@ -326,10 +347,21 @@ class BulldozerCore(CAEnvCore):
     def step_batched(self, states: EnvState, actions, *, interpret: bool = False):
         """Batched step over N envs via the fused Pallas kernel.
 
-        Bit-identical to ``jax.vmap(self.step)`` (same key derivation, same
-        integer stencil arithmetic, same float32 reward ops) but the whole
-        CA + Modify + reward-count pipeline runs as one single-pass VMEM
-        kernel (``gymca_tpu.ops.pallas_kernels.windy_fused_step``).
+        Semantically identical to ``jax.vmap(self.step)`` (same key
+        derivation, same integer stencil arithmetic, same float32 reward
+        ops) — every per-step OUTPUT (reward, done, hit info, counts) is
+        bit-identical — but the whole CA + Modify + reward-count pipeline
+        runs as one single-pass VMEM kernel
+        (``gymca_tpu.ops.pallas_kernels.windy_fused_step``).
+
+        Grid representation: Modify's single-cell writes are DEFERRED into a
+        bounded per-env write-back log (``context['edit_log']``) instead of
+        paying ~150 ns of scalar-core DMA issue per cell, and are flushed
+        into the HBM grid at the env's next CA application (before the
+        stencil, so propagation sees them exactly as eager writes).  Between
+        CA applications ``states.grid`` is therefore stale at the logged
+        cells — call :meth:`materialize_grid` when reading grids directly;
+        ``jax.vmap(self.step)`` parity tests compare materialized grids.
         """
         if not self.supports_fused_step():
             return jax.vmap(self.step)(states, actions)
@@ -362,12 +394,39 @@ class BulldozerCore(CAEnvCore):
 
         weights = windy_weights_from_roll(self._wind, rolls)
         shoot = a_shoot.astype(TYPE_INT) * jnp.logical_not(was_done).astype(TYPE_INT)
+
+        # -- Modify resolution (XLA side): one (N,) single-cell gather is
+        # ~7 ns/env, vs ~150 ns/env for the kernel's eager tile RMW.  A
+        # modify-only env hits iff its target cell is a tree AND no pending
+        # logged edit already emptied that cell.
+        K = self._edit_log_k
+        log = states.context["edit_log"]
+        log_cnt = states.context["edit_count"]
+        n = states.grid.shape[0]
+        env_ids = jnp.arange(n)
+        r_i = new_position[..., 0].astype(jnp.int32)
+        c_i = new_position[..., 1].astype(jnp.int32)
+        rowcol = r_i | (c_i << 16)
+        cur = states.grid[env_ids, r_i, c_i].astype(jnp.int32)
+        is_modify = jnp.logical_not(do_ca) & (shoot > 0)
+        if K:
+            kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+            valid = kidx < log_cnt[:, None]
+            pending = jnp.any((log == rowcol[:, None]) & valid, axis=-1)
+        else:
+            pending = jnp.zeros((n,), bool)
+        hit_mod = is_modify & (cur == self._tree) & jnp.logical_not(pending)
+        can_log = hit_mod & (log_cnt < K)
+        overflow = hit_mod & jnp.logical_not(can_log)
+
+        # Kernel classes: CA envs (shot handled in-kernel on the new grid)
+        # and eager-modify envs (log-overflow only; normally zero).
         params = jnp.stack(
             [
                 do_ca.astype(TYPE_INT),
-                new_position[..., 0].astype(TYPE_INT),
-                new_position[..., 1].astype(TYPE_INT),
-                shoot,
+                r_i.astype(TYPE_INT),
+                c_i.astype(TYPE_INT),
+                jnp.where(do_ca, shoot, overflow.astype(TYPE_INT)),
             ],
             axis=-1,
         )
@@ -376,6 +435,8 @@ class BulldozerCore(CAEnvCore):
             states.grid,
             weights,
             params,
+            log,
+            log_cnt,
             empty=self._empty,
             tree=self._tree,
             fire=self._fire,
@@ -383,13 +444,21 @@ class BulldozerCore(CAEnvCore):
         )
         new_grid = new_grid.astype(states.grid.dtype)
 
+        # Log update (after the kernel consumed the old log): CA envs replay
+        # + clear; modify envs append their hit (unless overflowed: the
+        # kernel already wrote that cell eagerly).
+        if K:
+            onehot = (kidx == log_cnt[:, None]) & can_log[:, None]
+            new_log = jnp.where(do_ca[:, None], 0, jnp.where(onehot, rowcol[:, None], log))
+            new_log_cnt = jnp.where(do_ca, 0, log_cnt + can_log.astype(jnp.int32))
+        else:
+            new_log, new_log_cnt = log, log_cnt
+
         # Kernel counts are defined only where it did work (sparse contract);
         # reconcile skipped/modify envs from the carried context here, where
         # it is vector math instead of per-env scalar-core work.
-        is_modify = jnp.logical_not(do_ca) & (shoot > 0)
-        active = do_ca | is_modify
-        hit_now = active & (counts[..., 2] > 0)
-        hit_i = jnp.where(is_modify, counts[..., 2], 0).astype(TYPE_INT)
+        hit_now = jnp.where(do_ca, counts[..., 2] > 0, hit_mod)
+        hit_i = jnp.where(hit_mod, 1, 0).astype(TYPE_INT)
         t_i = jnp.where(
             do_ca, counts[..., 0],
             states.context["tree_count"].astype(jnp.int32) - hit_i,
@@ -417,6 +486,8 @@ class BulldozerCore(CAEnvCore):
             "pos_fire": states.context["pos_fire"],
             "tree_count": t_i,
             "fire_count": f_i,
+            "edit_log": new_log,
+            "edit_count": new_log_cnt,
         }
         new_states = EnvState(
             grid=new_grid,
@@ -434,6 +505,37 @@ class BulldozerCore(CAEnvCore):
             info={"hit": hit},
         )
         return new_states, out
+
+    def materialize_grid(self, states: EnvState) -> jnp.ndarray:
+        """Flush pending deferred Modify writes into the grids (read path for
+        the fused batched step's write-back log; see :meth:`step_batched`).
+
+        Returns grids bit-identical to what ``jax.vmap(self.step)`` would
+        have produced eagerly.  Off the hot path by design — rendering,
+        tests, and checkpoint export call this; the training/bench loop
+        never does."""
+        K = self._edit_log_k
+        log = states.context.get("edit_log")
+        if K == 0 or log is None:
+            return states.grid
+        cnt = states.context["edit_count"]
+        empty = self._empty
+
+        def apply_one(grid, log, cnt):
+            def body(g, args):
+                wrd, k = args
+                r, c = wrd & 0xFFFF, wrd >> 16
+                v = jnp.where(k < cnt, jnp.asarray(empty, g.dtype), g[r, c])
+                return g.at[r, c].set(v), None
+
+            g, _ = jax.lax.scan(
+                body, grid, (log, jnp.arange(K, dtype=jnp.int32))
+            )
+            return g
+
+        if states.grid.ndim == 2:  # single env
+            return apply_one(states.grid, log, cnt)
+        return jax.vmap(apply_one)(states.grid, log, cnt)
 
     def _award(self, grid, context):
         """-(f / (t + f)) (reference bulldozer.py:180-213), from the counts

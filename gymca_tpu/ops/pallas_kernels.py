@@ -154,12 +154,19 @@ def _gusted_fire_neighbors(g32, fire_m, gates, masks):
 def _windy_sparse_kernel(
     grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
     b_ref,  # (1, 1, 4) int32 SMEM — THIS program's [n0, n1, 0, 0]
-    p_ref,  # (B, 1, 16) int32 SMEM — this program's slots, CLASS-SORTED:
-    #         [env, row, col, shoot, w0..w7, pad]; slots [0, n0) are CA
-    #         envs, [n0, n1) are modify-only envs, the rest unused
+    p_ref,  # (B, 1, 4+K) int32 SMEM — this program's slots, CLASS-SORTED and
+    #         BIT-PACKED: [env, row | col<<16, shoot | gustbits<<1,
+    #         edit_count, e_0 .. e_{K-1}]; slots [0, n0) are CA envs,
+    #         [n0, n1) modify-only, rest unused.  Each edit word e_k packs a
+    #         deferred Modify write (row | col<<16) to REPLAY into the grid
+    #         before the stencil (see ``windy_fused_step`` docstring).
+    #         (SMEM scalar reads cost ~10 ns each — packing fields into few
+    #         reads + 1-cycle ALU unpacks beats a wide-table layout.)
     out_hbm,  # (N, H, W) int ref, aliased to grid_hbm
-    cnt_ref,  # (B, 1, 4) int32 SMEM — [tree, fire, hit, 0] in slot order;
-    #          WRITTEN ONLY for active slots (CA: all three; modify: hit)
+    cnt_ref,  # (B, 1, 2) int32 SMEM — [(tree<<1)|hit, fire] in slot order;
+    #          WRITTEN ONLY for active slots (CA: both; modify: hit word).
+    #          SMEM->HBM output copies cost ~1.5 ns/byte (measured), so the
+    #          counts are bit-packed into the narrowest block that fits.
     g_vmem,  # (B, H, W) scratch — per-slot grid buffers
     tiles_vmem,  # (B, tile_r, 128) scratch — per-slot Modify tiles
     sem_full,  # DMA((B,))
@@ -170,6 +177,7 @@ def _windy_sparse_kernel(
     fire: int,
     envs_per_program: int,
     tile_r: int,
+    edit_k: int,
 ):
     """Class-balanced sparse step: one grid program handles
     ``envs_per_program`` SLOTS of the XLA-partitioned work list (CA updates
@@ -205,13 +213,18 @@ def _windy_sparse_kernel(
     n0 = b_ref[0, 0, 0]
     n1 = b_ref[0, 0, 1]
 
+    def unpack_rowcol(b):
+        rowcol = p_ref[b, 0, 1]
+        return rowcol & 0xFFFF, rowcol >> 16
+
     def tile_copy(b, inbound):
-        # rt/ct are tile-aligned bases PRECOMPUTED on the XLA side (packed
-        # slots 12/13) — in-kernel div/mul per descriptor cost real scalar
-        # cycles at ~150 ns/modify-env budgets.
+        # Tile-aligned bases derived by single-cycle scalar ANDs (tile dims
+        # are powers of two) — cheaper than the extra ~10 ns SMEM reads a
+        # precomputed-slot layout costs at ~150 ns/modify-env budgets.
         e = p_ref[b, 0, 0]
-        rt = pl.multiple_of(p_ref[b, 0, 12], tile_r)
-        ct = pl.multiple_of(p_ref[b, 0, 13], _TILE_C)
+        row, col = unpack_rowcol(b)
+        rt = pl.multiple_of(row & ~(tile_r - 1), tile_r)
+        ct = pl.multiple_of(col & ~(_TILE_C - 1), _TILE_C)
         hbm = out_hbm.at[e, pl.ds(rt, tile_r), pl.ds(ct, _TILE_C)]
         vmem = tiles_vmem.at[b]
         src, dst = (hbm, vmem) if inbound else (vmem, hbm)
@@ -257,12 +270,42 @@ def _windy_sparse_kernel(
 
     # Phase B: per-slot work.  Each slot owns a grid buffer, so all CA reads
     # stream concurrently while earlier slots compute.
+    h8, w8 = g_vmem.shape[1], g_vmem.shape[2]
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 1)
+
+    def _replay_edits(b):
+        """Apply this slot's deferred Modify writes (always ``empty``, so
+        they commute) to the VMEM grid copy BEFORE the stencil: a pending
+        edit must suppress fire propagation exactly as an eager write would.
+        Each edit costs one 8-row aligned band load/select/store (~tens of
+        ns) vs ~150 ns for an eager per-edit HBM tile RMW."""
+        cnt = p_ref[b, 0, 3]
+
+        def body(k, c):
+            wrd = p_ref[b, 0, 4 + k]
+            r = wrd & 0xFFFF
+            col = wrd >> 16
+            rb = pl.multiple_of(r & ~7, 8)
+            band = g_vmem[b, pl.ds(rb, 8), :]
+            m = (sub8 == (r & 7)) & (lane8 == col)
+            g_vmem[b, pl.ds(rb, 8), :] = jnp.where(
+                m, jnp.asarray(empty, band.dtype), band
+            )
+            return c
+
+        jax.lax.fori_loop(0, cnt, body, 0)
+
     def _full_update(b):
-        row, col, shoot = p_ref[b, 0, 1], p_ref[b, 0, 2], p_ref[b, 0, 3]
+        row, col = unpack_rowcol(b)
+        sw = p_ref[b, 0, 2]
+        shoot = sw & 1
         grid_wait(b)
+        if edit_k:
+            _replay_edits(b)
         g = g_vmem[b].astype(jnp.int32)
         gates = {
-            off: -(p_ref[b, 0, 4 + i] > 0).astype(jnp.int32)
+            off: -((sw >> (1 + i)) & 1)
             for i, off in enumerate(NEIGHBOR_OFFSETS)
         }
         fire_m = jnp.where(g == fire, -1, 0)
@@ -284,9 +327,10 @@ def _windy_sparse_kernel(
         grid_copy(b, inbound=False).start()
 
         hit_i = jnp.sum(hit_arr.astype(jnp.int32))
-        cnt_ref[b, 0, 0] = jnp.sum(tree_mask.astype(jnp.int32)) - hit_i
+        cnt_ref[b, 0, 0] = (
+            (jnp.sum(tree_mask.astype(jnp.int32)) - hit_i) << 1
+        ) | hit_i
         cnt_ref[b, 0, 1] = jnp.sum((tree_old & burn).astype(jnp.int32))
-        cnt_ref[b, 0, 2] = hit_i
 
     foreach(0, n0, _full_update)
 
@@ -297,14 +341,15 @@ def _windy_sparse_kernel(
     tcs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_r, _TILE_C), 1)
 
     def _modify_only(b):
-        # In-tile coords precomputed XLA-side (packed slots 14/15).
-        row_t, col_t = p_ref[b, 0, 14], p_ref[b, 0, 15]
+        # In-tile coords = scalar ANDs against the power-of-two tile dims.
+        row, col = unpack_rowcol(b)
+        row_t, col_t = row & (tile_r - 1), col & (_TILE_C - 1)
         tile_wait(b)
         t = tiles_vmem[b].astype(jnp.int32)
         hit_arr = (trs0 == row_t) & (tcs0 == col_t) & (t == tree)
         tiles_vmem[b] = jnp.where(hit_arr, empty, t).astype(tiles_vmem.dtype)
         tile_copy(b, inbound=False).start()
-        cnt_ref[b, 0, 2] = jnp.sum(hit_arr.astype(jnp.int32))
+        cnt_ref[b, 0, 0] = jnp.sum(hit_arr.astype(jnp.int32))
 
     foreach(n0, n1, _modify_only)
 
@@ -338,6 +383,8 @@ def windy_fused_step(
     grid: jnp.ndarray,  # (N, H, W) int
     weights: jnp.ndarray,  # (N, 8) int32 — windy_weights_from_roll output
     params: jnp.ndarray,  # (N, 4) int32 — [do_ca, row, col, shoot]
+    edits: jnp.ndarray | None = None,  # (N, K) int32 — row | col<<16 words
+    edit_counts: jnp.ndarray | None = None,  # (N,) int32 — valid prefix len
     *,
     empty: int,
     tree: int,
@@ -346,15 +393,27 @@ def windy_fused_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sparse fused windy-CA + Modify + counts step over a batch of envs.
 
-    Returns ``(new_grid (N, H, W), counts (N, 4) int32)``.  Counts columns
-    are ``[tree, fire, hit, _]`` on the post-update grid and are DEFINED ONLY
+    Returns ``(new_grid (N, H, W), counts (N, 3) int32)``.  Counts columns
+    are ``[tree, fire, hit]`` on the post-update grid and are DEFINED ONLY
     where the kernel did work: all three where ``do_ca``, ``hit`` alone where
     ``(not do_ca) and shoot``; every other row is uninitialized garbage the
     caller must mask (skipped envs keep their carried counts — that is the
     point of the sparse design).  The grid buffer is aliased in→out: inside
     jit (scan carries) the update is in-place; eager callers get a copy.
+
+    ``edits``/``edit_counts`` carry DEFERRED Modify writes (a write-back log
+    of agent cells turned ``empty``; the caller defers them because a
+    single-cell eager HBM RMW costs ~150 ns of scalar-core DMA issue).  For
+    each ``do_ca`` env, ``edits[e, :edit_counts[e]]`` is replayed into the
+    VMEM grid copy BEFORE the stencil, so a pending edit suppresses fire
+    propagation exactly as an eager write would have.  Non-CA envs' logs are
+    carried along by the caller untouched.
     """
     n, h, w = grid.shape
+    if edits is None:
+        edits = jnp.zeros((n, 0), jnp.int32)
+        edit_counts = jnp.zeros((n,), jnp.int32)
+    edit_k = edits.shape[1]
     # Envs per grid program: amortizes per-program overhead and lets the
     # block's DMAs overlap.  Each env in the block owns a VMEM grid slot, so
     # cap the block by a VMEM budget.
@@ -369,7 +428,7 @@ def windy_fused_step(
     )
     kernel = functools.partial(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
-        envs_per_program=B, tile_r=tile_r,
+        envs_per_program=B, tile_r=tile_r, edit_k=edit_k,
     )
     P = n // B  # number of programs
     do_ca = params[:, 0] > 0
@@ -395,9 +454,6 @@ def windy_fused_step(
     # program gets an even mix of CA and modify work — see the kernel
     # docstring for why that matters.  Kernel-table row for slot s:
     table_row_of_slot = (slot_of_env % P) * B + slot_of_env // P
-    perm = jnp.zeros((n,), jnp.int32).at[table_row_of_slot].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
-    )
     # Per-program class bounds: n0_p = |{s < n_ca : s === p (mod P)}|,
     # n1_p = |{s < n_active : s === p}|.
     p_ids = jnp.arange(P, dtype=jnp.int32)
@@ -410,41 +466,48 @@ def windy_fused_step(
     env_ids = jnp.arange(n, dtype=jnp.int32)
     row_i = params[:, 1].astype(jnp.int32)
     col_i = params[:, 2].astype(jnp.int32)
-    packed = jnp.concatenate(
+    # Bit-packed table rows (see kernel docstring): gust success per
+    # direction as one bit each, coords as int16 halves, deferred-edit words
+    # appended.  TPU scatter is a ~12 ns/element serial loop, so the rows
+    # are scattered into kernel-table order directly — one scatter, no
+    # inverse-perm + gather.
+    gustbits = jnp.zeros((n,), jnp.int32)
+    for i in range(8):
+        gustbits = gustbits | ((weights[:, i] > 0).astype(jnp.int32) << i)
+    packed_env = jnp.concatenate(
         [
-            jnp.stack([env_ids, row_i, col_i, params[:, 3].astype(jnp.int32)],
-                      axis=-1),
-            weights.astype(jnp.int32),
-            # Modify-tile addressing precomputed here (vector ops) instead
-            # of per-slot scalar div/mod on the kernel's scalar core:
-            # [rt, ct, row_in_tile, col_in_tile].
             jnp.stack(
                 [
-                    (row_i // tile_r) * tile_r,
-                    (col_i // _TILE_C) * _TILE_C,
-                    row_i % tile_r,
-                    col_i % _TILE_C,
+                    env_ids,
+                    row_i | (col_i << 16),
+                    params[:, 3].astype(jnp.int32) | (gustbits << 1),
+                    edit_counts.astype(jnp.int32),
                 ],
                 axis=-1,
             ),
+            edits.astype(jnp.int32),
         ],
         axis=-1,
-    )[perm][:, None, :]  # (N, 1, 16), kernel-table order
+    )
+    tw = 4 + edit_k
+    packed = jnp.zeros((n, 1, tw), jnp.int32).at[table_row_of_slot, 0].set(
+        packed_env, unique_indices=True
+    )  # (N, 1, 4+K), kernel-table order
     new_grid, counts_slot = pl.pallas_call(
         kernel,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, tw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((B, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, h, w), grid.dtype),
-            jax.ShapeDtypeStruct((n, 1, 4), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, 2), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, h, w), grid.dtype),
@@ -459,7 +522,16 @@ def windy_fused_step(
         ),
         interpret=interpret,
     )(grid, bounds, packed)
-    # Undo the partition: env e's counts live at kernel-table row
-    # (slot % P) * B + slot // P.
-    counts = counts_slot[:, 0, :][table_row_of_slot]
+    # Undo the partition (env e's counts live at kernel-table row
+    # (slot % P) * B + slot // P) and unpack the [(tree<<1)|hit, fire]
+    # encoding back to [tree, fire, hit] columns.
+    packed_counts = counts_slot[:, 0, :][table_row_of_slot]
+    counts = jnp.stack(
+        [
+            packed_counts[:, 0] >> 1,
+            packed_counts[:, 1],
+            packed_counts[:, 0] & 1,
+        ],
+        axis=-1,
+    )
     return new_grid, counts

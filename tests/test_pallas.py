@@ -128,8 +128,20 @@ def test_step_batched_parity_with_vmap_step(core, key):
         states_a, out_a = step_vmap(states_a, actions)
         states_b, out_b = step_fused(states_b, actions)
 
+        # Fused-path grids defer Modify writes into the edit log; the
+        # materialized view must be bit-identical to the eager path.
         np.testing.assert_array_equal(
-            np.asarray(states_a.grid), np.asarray(states_b.grid), err_msg=f"step {i}"
+            np.asarray(states_a.grid),
+            np.asarray(core.materialize_grid(states_b)),
+            err_msg=f"step {i}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states_a.context["tree_count"]),
+            np.asarray(states_b.context["tree_count"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states_a.context["fire_count"]),
+            np.asarray(states_b.context["fire_count"]),
         )
         np.testing.assert_array_equal(
             np.asarray(states_a.context["position"]),
@@ -175,10 +187,59 @@ def test_int8_step_batched_parity(key):
         states_a, out_a = step_vmap(states_a, actions)
         states_b, out_b = step_fused(states_b, actions)
         np.testing.assert_array_equal(
-            np.asarray(states_a.grid), np.asarray(states_b.grid),
+            np.asarray(states_a.grid),
+            np.asarray(core8.materialize_grid(states_b)),
             err_msg=f"step {i}")
         np.testing.assert_array_equal(
             np.asarray(out_a.reward), np.asarray(out_b.reward))
+
+
+def test_deferred_edit_log(core, key):
+    """Between CA applications the fused path defers Modify writes into
+    ``context['edit_log']`` (the HBM grid stays stale until materialized);
+    repeat shots at a pending cell must not double-hit; the log flushes into
+    the grid at the env's next CA application."""
+    assert core._edit_log_k >= 1
+    states = jax.vmap(core.initial_state)(jax.random.split(key, 1))
+    pos = np.asarray(states.context["position"][0])
+    # make the target cell a tree so the first shot hits
+    grid = states.grid.at[0, pos[0], pos[1]].set(3)
+    states = states.replace(
+        grid=grid,
+        context={
+            **states.context,
+            "tree_count": jnp.sum(grid == 3, axis=(1, 2)).astype(
+                states.context["tree_count"].dtype
+            ),
+        },
+    )
+    shoot_in_place = jnp.asarray([[4, 1]], jnp.int32)  # not_move + shoot
+
+    states1, out1 = core.step_batched(states, shoot_in_place, interpret=True)
+    assert not bool(states1.done[0]), "episode should still be live"
+    if int(states1.context["edit_count"][0]) == 0:
+        pytest.skip("first step crossed a CA period; log never exercised")
+    # hit reported, tree count decremented, but the HBM grid is stale...
+    assert bool(out1.info["hit"][0])
+    assert int(states1.grid[0, pos[0], pos[1]]) == 3
+    # ...while the materialized view shows the write
+    assert int(core.materialize_grid(states1)[0, pos[0], pos[1]]) == 0
+    tree_count_1 = int(states1.context["tree_count"][0])
+
+    # a second shot at the same (pending) cell must not hit again
+    states2, out2 = core.step_batched(states1, shoot_in_place, interpret=True)
+    assert not bool(out2.info["hit"][0])
+    assert int(states2.context["tree_count"][0]) == tree_count_1
+
+    # step until the CA fires: the log flushes into the HBM grid
+    for _ in range(8):
+        cnt_before = int(states2.context["edit_count"][0])
+        states2, _ = core.step_batched(states2, shoot_in_place, interpret=True)
+        if int(states2.context["edit_count"][0]) < cnt_before:
+            break
+    else:
+        pytest.fail("CA never fired within 8 shoot steps")
+    assert int(states2.grid[0, pos[0], pos[1]]) == 0  # flushed eagerly now
 
 
 def test_step_batched_done_freeze(core, key):
