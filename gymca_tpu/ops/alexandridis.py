@@ -157,6 +157,18 @@ class AlexandridisCA(Operator):
         self._dousing_border = 0.0007 * self.fire_age_max * 0.50
         self._dousing_inner = 0.006 * self.fire_age_max * 0.50
 
+    @staticmethod
+    def sequential_prototype(empty: int = 0, tree: int = 1, fire: int = 2,
+                             rng=None):
+        """Debug factory for the LEGACY sequential per-cell prototype
+        (reference ca_alexandridis.py:135-221) — NumPy, single-env,
+        order-dependent pinecone semantics.  See
+        ``gymca_tpu.ops.alexandridis_legacy`` for the divergence note; this
+        is a behavioral spec / oracle, not a TPU path."""
+        from gymca_tpu.ops.alexandridis_legacy import SequentialAlexandridisCA
+
+        return SequentialAlexandridisCA(empty, tree, fire, rng=rng)
+
     # --- pieces ------------------------------------------------------------
 
     def _ignitions(self, grid, base, wind_matrix, exp_slope, key):
