@@ -16,9 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "make_host_device_mesh", "is_coordinator",
-           "data_sharding", "replicated_sharding", "shard_env_batch",
-           "initialize_distributed"]
+__all__ = ["make_mesh", "make_2d_mesh", "make_host_device_mesh",
+           "is_coordinator", "data_sharding", "replicated_sharding",
+           "shard_env_batch", "initialize_distributed"]
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -47,6 +47,19 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data",
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_2d_mesh(
+    data: int, space: int, axis_names: tuple = ("data", "space"),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-D ``(data, space)`` mesh: env batches shard over the leading axis,
+    each env's grid rows over the trailing axis (see
+    ``parallel/spatial_env.py``'s batch x spatial composition)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert data * space <= len(devices), (data, space, len(devices))
+    arr = np.asarray(devices[: data * space]).reshape(data, space)
+    return Mesh(arr, axis_names)
 
 
 def make_host_device_mesh(axis_names: tuple = ("host", "device")) -> Mesh:
