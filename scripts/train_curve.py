@@ -22,6 +22,13 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--tag", type=str, required=True)
     ap.add_argument("--out", type=str, default="docs/assets")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--ent-coef", type=float, default=None)
+    ap.add_argument("--speed-multiplier", type=float, default=1.0,
+                    help="curriculum knob: >1 makes fires spread slower "
+                         "relative to the agent")
+    ap.add_argument("--pallas-ca", action="store_true",
+                    help="train through the fused Pallas Alexandridis CA")
     a = ap.parse_args()
 
     import jax
@@ -31,9 +38,15 @@ def main():
     from gymca_tpu.agents.ppo import PPOTrainer
     from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
 
+    ppo_kwargs = {}
+    if a.lr is not None:
+        ppo_kwargs["learning_rate"] = a.lr
+    if a.ent_coef is not None:
+        ppo_kwargs["ent_coef"] = a.ent_coef
     args = Args(
-        ppo=PPOArgs(),
-        env=EnvArgs(num_envs=a.num_envs, size=a.size),
+        ppo=PPOArgs(**ppo_kwargs),
+        env=EnvArgs(num_envs=a.num_envs, size=a.size,
+                    speed_multiplier=a.speed_multiplier),
         viz=VisualizationArgs(),
         exp=ExperimentArgs(
             total_timesteps=a.iters * a.num_envs * 128,
@@ -42,6 +55,7 @@ def main():
     )
     env = AdvancedForestFireBulldozerEnv(
         a.size, a.size, key=jax.random.key(a.seed), num_envs=a.num_envs,
+        speed_multiplier=a.speed_multiplier, use_pallas_ca=a.pallas_ca,
     )
     trainer = PPOTrainer(env, args, key=jax.random.key(a.seed))
 
@@ -63,10 +77,20 @@ def main():
 
     out_dir = Path(a.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    overrides = []
+    if a.lr is not None:
+        overrides.append(f"lr={a.lr:g}")
+    if a.ent_coef is not None:
+        overrides.append(f"ent={a.ent_coef:g}")
+    if a.speed_multiplier != 1.0:
+        overrides.append(f"speed_mult={a.speed_multiplier:g}")
+    if a.pallas_ca:
+        overrides.append("pallas-ca")
     blob = {
         "config": (
             f"AdvancedBulldozer {a.size}x{a.size}, {a.num_envs} envs, "
-            f"{'bf16' if a.bf16 else 'f32'}, seed {a.seed}, default PPO"
+            f"{'bf16' if a.bf16 else 'f32'}, seed {a.seed}, "
+            + (" ".join(overrides) + " PPO" if overrides else "default PPO")
         ),
         "hardware": "TPU v5e (1 chip)",
         "wall_seconds": round(wall, 1),
