@@ -134,6 +134,80 @@ def kernel_fma(g_ref, w_ref, out_ref, cnt_ref):
     cnt_ref[0, 0, 1] = jnp.sum((new == FIRE).astype(jnp.int32))
 
 
+def kernel_swar(g_ref, w_ref, out_ref, cnt_ref):
+    """D: int8-native elementwise + byte-packed uint32 shifts.
+
+    Elementwise compares/selects stay in int8 (4 cells per lane if Mosaic
+    packs natively); only the neighbor shifts cross into a byte-packed
+    uint32 view (cell col = 4*word + byte), where a column shift is a byte
+    shift + one lane roll for the cross-word carry; counts come from
+    popcounts on the packed masks."""
+    g8 = g_ref[0]  # (H, W) int8
+    h, w = g8.shape
+    w32 = w // 4
+    from gymca_tpu.ops.pallas_kernels import _WIDX
+
+    def gate(d):  # 0 or all-ones uint32 scalar
+        return (jnp.uint32(0) - (w_ref[0, 0, _WIDX[d]] > 0).astype(jnp.uint32))
+
+    fire8 = jnp.where(g8 == FIRE, jnp.int8(-1), jnp.int8(0))
+    m = jax.lax.bitcast_convert_type(
+        fire8.reshape(h, w32, 4), jnp.uint32
+    )  # (h, w32), bytes 0xFF where fire
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w32), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (h, w32), 1)
+    r_lt, r_ge = rows < h - 1, rows >= 1
+    c_lt, c_ge = lanes < w32 - 1, lanes >= 1
+    z = jnp.zeros((), jnp.uint32)
+
+    bu = jnp.where(r_lt, pltpu.roll(m, h - 1, 0), z)  # row r+1
+    bd = jnp.where(r_ge, pltpu.roll(m, 1, 0), z)  # row r-1
+
+    pre_p = (bu & gate((1, 1))) | (m & gate((0, 1))) | (bd & gate((-1, 1)))
+    pre_m = (bu & gate((1, -1))) | (m & gate((0, -1))) | (bd & gate((-1, -1)))
+    acc = (bu & gate((1, 0))) | (bd & gate((-1, 0)))
+
+    # value from col c+1: bytes shift down; byte 3 carries from word+1
+    acc = acc | (
+        (pre_p >> jnp.uint32(8))
+        | jnp.where(
+            c_lt,
+            (pltpu.roll(pre_p, w32 - 1, 1) & jnp.uint32(0xFF))
+            << jnp.uint32(24),
+            z,
+        )
+    )
+    # value from col c-1: bytes shift up; byte 0 carries from word-1
+    acc = acc | (
+        (pre_m << jnp.uint32(8))
+        | jnp.where(
+            c_ge,
+            (pltpu.roll(pre_m, 1, 1) >> jnp.uint32(24)) & jnp.uint32(0xFF),
+            z,
+        )
+    )
+
+    burn8 = jax.lax.bitcast_convert_type(acc, jnp.int8).reshape(h, w)
+    tree_old = g8 == TREE
+    burn = tree_old & (burn8 != 0)
+    keep = tree_old & jnp.logical_not(burn)
+    new = jnp.where(
+        burn, jnp.int8(FIRE), jnp.where(keep, jnp.int8(TREE), jnp.int8(EMPTY))
+    )
+    out_ref[0] = new
+
+    def count(mask8):  # popcount on the packed one-bytes
+        ones = jnp.where(mask8, jnp.int8(1), jnp.int8(0))
+        packed = jax.lax.bitcast_convert_type(
+            ones.reshape(h, w32, 4), jnp.uint32
+        )
+        return jnp.sum(jax.lax.population_count(packed).astype(jnp.int32))
+
+    cnt_ref[0, 0, 0] = count(keep)
+    cnt_ref[0, 0, 1] = count(burn)
+
+
 def run_variant(kernel, grid, weights01):
     @jax.jit
     def run(grid, weights01):
@@ -194,14 +268,22 @@ def main():
     print(f"C f32-FMA banded pipelined: {dt*1e6/N*1000:8.1f} ns/grid "
           f"({dt*1e6:7.1f} us/step)", flush=True)
 
+    rd = run_variant(kernel_swar, grid8, w_01)
+    dt = timeit(rd, grid8, w_01)
+    print(f"D int8+packed-u32 SWAR: {dt*1e6/N*1000:8.1f} ns/grid "
+          f"({dt*1e6:7.1f} us/step)", flush=True)
+
     # parity check
-    ga, _ = ra(grid8, w_prop)
+    ga, ca_ = ra(grid8, w_prop)
     gb, _ = rb(grid8, w_01)
     gc, _ = rc(grid8, w_prop)
+    gd, cd_ = rd(grid8, w_01)
     import numpy as np
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gc))
-    print("parity A == B == C over", STEPS, "steps OK")
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gd))
+    np.testing.assert_array_equal(np.asarray(ca_), np.asarray(cd_))
+    print("parity A == B == C == D over", STEPS, "steps OK")
 
 
 if __name__ == "__main__":
