@@ -359,9 +359,11 @@ class BulldozerCore(CAEnvCore):
         paying ~150 ns of scalar-core DMA issue per cell, and are flushed
         into the HBM grid at the env's next CA application (before the
         stencil, so propagation sees them exactly as eager writes).  Between
-        CA applications ``states.grid`` is therefore stale at the logged
-        cells — call :meth:`materialize_grid` when reading grids directly;
-        ``jax.vmap(self.step)`` parity tests compare materialized grids.
+        CA applications ``states.grid`` — and therefore the grid leaf inside
+        ``out.obs`` — is stale at the logged cells: call
+        :meth:`materialize_grid` (on the returned states) before consuming
+        grids as observations; ``jax.vmap(self.step)`` parity tests compare
+        materialized grids.
         """
         if not self.supports_fused_step():
             return jax.vmap(self.step)(states, actions)

@@ -180,7 +180,7 @@ def prologue_scatter_only(params, weights):
     return jnp.sum(perm), perm[0]
 
 
-def main():
+def make_inputs():
     key = jax.random.key(0)
     params = jnp.stack(
         [
@@ -194,22 +194,25 @@ def main():
         axis=-1,
     )
     weights = jax.random.randint(jax.random.fold_in(key, 4), (N, 8), 0, 9)
+    return params, weights
 
+
+def main():
+    params, weights = make_inputs()
     for name, f in [
         ("full prologue (current)", prologue_current),
         ("full prologue (1 cumsum)", prologue_onecumsum),
         ("partition only (3 cumsums)", prologue_partition_only),
         ("pack+gather only", prologue_pack_only),
         ("scatter only", prologue_scatter_only),
+        ("rowscatter (no perm/gather)", prologue_rowscatter),
+        ("scatter unique_indices", scatter_unique),
+        ("gather rows only", gather_only),
     ]:
         dt = timeit(scan_over(f), params, weights)
         print(f"{name:28s}: {dt*1e6:7.1f} us/step", flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-# --- appended variants ---
 def prologue_rowscatter(params, weights):
     do_ca = params[:, 0] > 0
     shoot = params[:, 3] > 0
@@ -266,21 +269,4 @@ def gather_only(params, weights):
 
 
 if __name__ == "__main__":
-    key = jax.random.key(0)
-    params = jnp.stack(
-        [
-            jax.random.bernoulli(key, 0.08, (N,)).astype(jnp.int32),
-            jax.random.randint(jax.random.fold_in(key, 1), (N,), 0, 256),
-            jax.random.randint(jax.random.fold_in(key, 2), (N,), 0, 256),
-            jax.random.bernoulli(jax.random.fold_in(key, 3), 0.5, (N,)).astype(jnp.int32),
-        ],
-        axis=-1,
-    )
-    weights = jax.random.randint(jax.random.fold_in(key, 4), (N, 8), 0, 9)
-    for name, f in [
-        ("rowscatter (no perm/gather)", prologue_rowscatter),
-        ("scatter unique_indices", scatter_unique),
-        ("gather rows only", gather_only),
-    ]:
-        dt = timeit(scan_over(f), params, weights)
-        print(f"{name:28s}: {dt*1e6:7.1f} us/step", flush=True)
+    main()

@@ -104,9 +104,11 @@ def test_shard_count_effect_bounded(env):
     base = results[1]
     for n_shards in (2, 4):
         r = results[n_shards]
-        # same training regime: late losses within 3x of the 1-shard run,
-        # late mean rewards within an absolute band of the reward scale
-        assert r["loss"] <= 3.0 * max(base["loss"], 1e-3) + 0.1, results
+        # same training regime: TWO-SIDED bands (PPO total loss can be
+        # negative, so a one-sided multiple of the base would be vacuous)
+        assert abs(r["loss"] - base["loss"]) <= max(
+            0.5, 2.0 * abs(base["loss"])
+        ), results
         assert abs(r["mean_reward"] - base["mean_reward"]) < 0.25, results
 
 
