@@ -151,6 +151,46 @@ def _gusted_fire_neighbors(g32, fire_m, gates, masks):
     return acc
 
 
+def _gusted_fire_neighbors_swar(m, gates, masks):
+    """SWAR form of ``_gusted_fire_neighbors``: int8 cells byte-packed four
+    per uint32 lane (cell col = 4*word + byte, little-endian bitcast), so
+    every AND/OR pass covers 4x the cells of the int32 formulation.
+
+    ``m``: (h, w//4) uint32, byte 0xFF where the cell is fire else 0x00.
+    ``gates``: Moore offset -> uint32 scalar, all-ones where the gust
+    succeeded else 0.  ``masks``: (r_lt, r_ge, c_lt, c_ge) edge masks on the
+    PACKED (h, w//4) shape.  A column shift becomes a byte shift within the
+    word plus one lane roll carrying the crossing byte; row shifts are
+    unchanged.  Returns (h, w//4) uint32 with nonzero bytes exactly where
+    ``_gusted_fire_neighbors`` is nonzero (bit-identity pinned by
+    ``tests/test_pallas.py``).
+    """
+    h, w32 = m.shape
+    r_lt, r_ge, c_lt, c_ge = masks
+    z = jnp.zeros((), jnp.uint32)
+    bu = jnp.where(r_lt, pltpu.roll(m, h - 1, 0), z)  # g[r+1]
+    bd = jnp.where(r_ge, pltpu.roll(m, 1, 0), z)  # g[r-1]
+    pre_p = (bu & gates[(1, 1)]) | (m & gates[(0, 1)]) | (bd & gates[(-1, 1)])
+    pre_m = (
+        (bu & gates[(1, -1)]) | (m & gates[(0, -1)]) | (bd & gates[(-1, -1)])
+    )
+    acc = (bu & gates[(1, 0)]) | (bd & gates[(-1, 0)])
+    # Neighbor at col c+1: bytes move down one slot; byte 3 of each word
+    # takes byte 0 of the next word (lane roll w32-1 == shift left by one).
+    acc = acc | (pre_p >> jnp.uint32(8)) | jnp.where(
+        c_lt,
+        (pltpu.roll(pre_p, w32 - 1, 1) & jnp.uint32(0xFF)) << jnp.uint32(24),
+        z,
+    )
+    # Neighbor at col c-1: bytes move up; byte 0 takes byte 3 of word-1.
+    acc = acc | (pre_m << jnp.uint32(8)) | jnp.where(
+        c_ge,
+        (pltpu.roll(pre_m, 1, 1) >> jnp.uint32(24)) & jnp.uint32(0xFF),
+        z,
+    )
+    return acc
+
+
 def _windy_sparse_kernel(
     grid_hbm,  # (N, H, W) int ref, memory_space=ANY (stays in HBM)
     b_ref,  # (1, 1, 4) int32 SMEM — THIS program's [n0, n1, 0, 0]
@@ -178,6 +218,7 @@ def _windy_sparse_kernel(
     envs_per_program: int,
     tile_r: int,
     edit_k: int,
+    swar: bool,
 ):
     """Class-balanced sparse step: one grid program handles
     ``envs_per_program`` SLOTS of the XLA-partitioned work list (CA updates
@@ -267,6 +308,13 @@ def _windy_sparse_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     masks = (rows < h - 1, rows >= 1, cols < w - 1, cols >= 1)
+    if swar:
+        w32 = w // 4
+        rows_p = jax.lax.broadcasted_iota(jnp.int32, (h, w32), 0)
+        lanes_p = jax.lax.broadcasted_iota(jnp.int32, (h, w32), 1)
+        masks_p = (
+            rows_p < h - 1, rows_p >= 1, lanes_p < w32 - 1, lanes_p >= 1
+        )
 
     # Phase B: per-slot work.  Each slot owns a grid buffer, so all CA reads
     # stream concurrently while earlier slots compute.
@@ -332,7 +380,63 @@ def _windy_sparse_kernel(
         ) | hit_i
         cnt_ref[b, 0, 1] = jnp.sum((tree_old & burn).astype(jnp.int32))
 
-    foreach(0, n0, _full_update)
+    def _full_update_swar(b):
+        """int8/SWAR form of ``_full_update``: the stencil's boolean algebra
+        runs on byte-packed uint32 lanes (4 cells per lane instead of 1 for
+        the int32 path), the decode stays int8-native, counts come from
+        popcounts on the packed masks, and the single-cell hit/clear is an
+        8-row band RMW (the full-plane hit select the int32 path fuses for
+        free would cost whole extra passes here)."""
+        row, col = unpack_rowcol(b)
+        sw = p_ref[b, 0, 2]
+        shoot = sw & 1
+        grid_wait(b)
+        if edit_k:
+            _replay_edits(b)
+        g8 = g_vmem[b]
+        fire8 = jnp.where(g8 == fire, jnp.int8(-1), jnp.int8(0))
+        m = jax.lax.bitcast_convert_type(
+            fire8.reshape(h, w32, 4), jnp.uint32
+        )
+        gates = {
+            off: jnp.uint32(0) - ((sw >> (1 + i)) & 1).astype(jnp.uint32)
+            for i, off in enumerate(NEIGHBOR_OFFSETS)
+        }
+        acc = _gusted_fire_neighbors_swar(m, gates, masks_p)
+        burn8 = jax.lax.bitcast_convert_type(acc, jnp.int8).reshape(h, w)
+        tree_old = g8 == tree
+        burn = tree_old & (burn8 != 0)
+        keep = tree_old & jnp.logical_not(burn)
+        g_vmem[b] = jnp.where(
+            burn,
+            jnp.int8(fire),
+            jnp.where(keep, jnp.int8(tree), jnp.int8(empty)),
+        )
+
+        def popcount(mask):
+            ones = jnp.where(mask, jnp.int8(1), jnp.int8(0))
+            packed = jax.lax.bitcast_convert_type(
+                ones.reshape(h, w32, 4), jnp.uint32
+            )
+            return jnp.sum(
+                jax.lax.population_count(packed).astype(jnp.int32)
+            )
+
+        # Hit = the shot cell is a tree on the NEW grid (matching the int32
+        # path's tree_mask & shoot semantics); clear it in an aligned band.
+        rb = pl.multiple_of(row & ~7, 8)
+        band = g_vmem[b, pl.ds(rb, 8), :]
+        hit_m = (
+            (sub8 == (row & 7)) & (lane8 == col) & (band == tree) & (shoot > 0)
+        )
+        g_vmem[b, pl.ds(rb, 8), :] = jnp.where(hit_m, jnp.int8(empty), band)
+        grid_copy(b, inbound=False).start()
+
+        hit_i = jnp.sum(hit_m.astype(jnp.int32))
+        cnt_ref[b, 0, 0] = ((popcount(keep) - hit_i) << 1) | hit_i
+        cnt_ref[b, 0, 1] = popcount(burn)
+
+    foreach(0, n0, _full_update_swar if swar else _full_update)
 
     # Phase B2: per-slot modify edits.  The inbound tile DMAs were started
     # in Phase A and the CA stencils above give them plenty of time to
@@ -376,8 +480,17 @@ def supports_sparse_kernel(h: int, w: int, itemsize: int = 4) -> bool:
     )
 
 
+def _stencil_auto(dtype, w: int) -> str:
+    """Stencil selection for ``stencil="auto"``.  The SWAR path needs int8
+    cells and a word-packable width; it stays opt-in until its TPU timing
+    (``scripts/exp_ca_variants.py``) confirms it beats the boolean stencil
+    end-to-end — flip here when it does."""
+    return "boolean"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("empty", "tree", "fire", "interpret")
+    jax.jit,
+    static_argnames=("empty", "tree", "fire", "interpret", "stencil"),
 )
 def windy_fused_step(
     grid: jnp.ndarray,  # (N, H, W) int
@@ -390,6 +503,7 @@ def windy_fused_step(
     tree: int,
     fire: int,
     interpret: bool = False,
+    stencil: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sparse fused windy-CA + Modify + counts step over a batch of envs.
 
@@ -426,9 +540,17 @@ def windy_fused_step(
         and n % b == 0
         and b * h * w * itemsize <= _VMEM_BUDGET
     )
+    if stencil == "auto":
+        stencil = _stencil_auto(grid.dtype, w)
+    assert stencil in ("boolean", "swar"), stencil
+    if stencil == "swar":
+        assert jnp.dtype(grid.dtype) == jnp.int8 and w % 4 == 0, (
+            grid.dtype, w,
+        )
     kernel = functools.partial(
         _windy_sparse_kernel, empty=empty, tree=tree, fire=fire,
         envs_per_program=B, tile_r=tile_r, edit_k=edit_k,
+        swar=stencil == "swar",
     )
     P = n // B  # number of programs
     do_ca = params[:, 0] > 0

@@ -266,3 +266,66 @@ def test_step_batched_done_freeze(core, key):
     # frozen context keeps the stale hit (matches vmap(step) freeze semantics)
     assert bool(new_states.context["hit"][0])
     assert bool(out.info["hit"][0])
+
+
+def test_swar_stencil_matches_boolean(key):
+    """SWAR (byte-packed) stencil bit-identity vs the boolean int32 path:
+    same grids, gusts, shoots, and deferred edits through both ``stencil``
+    values on an int8 grid — outputs and counts must match exactly,
+    including hit reporting and mid-plane/edge fire fronts."""
+    empty, tree, fire = 0, 3, 25
+    h, w = 32, 128  # int8 min tile (32, 128)
+    n = 4
+    k_grid, k_roll, k_pos = jax.random.split(key, 3)
+    grid = jax.random.choice(
+        k_grid,
+        jnp.asarray([empty, tree, fire], jnp.int8),
+        (n, h, w),
+        p=jnp.asarray([0.2, 0.7, 0.1]),
+    )
+    wind = jax.random.uniform(k_roll, (3, 3))
+    rolls = jax.vmap(
+        lambda k: jax.random.uniform(k, (3, 3), dtype=jnp.float32)
+    )(jax.random.split(k_roll, n))
+    weights = windy_weights_from_roll(wind, rolls)
+    rows = jax.random.randint(k_pos, (n,), 0, h)
+    cols = jax.random.randint(jax.random.fold_in(k_pos, 1), (n,), 0, w)
+    params = jnp.stack(
+        [jnp.asarray([1, 1, 1, 1]), rows, cols, jnp.asarray([1, 0, 1, 0])],
+        axis=-1,
+    ).astype(jnp.int32)
+    edits = jnp.zeros((n, 2), jnp.int32).at[0, 0].set(
+        3 | (17 << 16)
+    ).at[0, 1].set(9 | (64 << 16))
+    edit_counts = jnp.asarray([2, 0, 0, 0], jnp.int32)
+    outs = {}
+    for stencil in ("boolean", "swar"):
+        outs[stencil] = windy_fused_step(
+            grid, weights, params, edits, edit_counts,
+            empty=empty, tree=tree, fire=fire,
+            interpret=True, stencil=stencil,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["swar"][0]), np.asarray(outs["boolean"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["swar"][1]), np.asarray(outs["boolean"][1])
+    )
+    # and vs the unfused XLA rule on the same int8 grids (drop the edits,
+    # whose semantics the XLA path applies eagerly instead)
+    params_ca = params.at[:, 3].set(0)
+    got, _ = windy_fused_step(
+        grid, weights, params_ca,
+        empty=empty, tree=tree, fire=fire,
+        interpret=True, stencil="swar",
+    )
+    from gymca_tpu.ops.windy import windy_step_from_success
+
+    for e in range(n):
+        exp = windy_step_from_success(
+            grid[e].astype(jnp.int32), wind > rolls[e],
+            empty=empty, tree=tree, fire=fire,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[e], dtype=np.int32), np.asarray(exp)
+        )
