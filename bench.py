@@ -27,7 +27,8 @@ self-explaining.
 
 Env knobs: GYMCA_BENCH_SIZE (default 256), GYMCA_BENCH_ENVS (default 4096),
 GYMCA_BENCH_STEPS (default 1000), GYMCA_BENCH_ADV=0 to skip the advanced
-metric, --smoke for a tiny CPU-safe run.
+metric, GYMCA_BENCH_STENCIL=boolean|swar|auto (windy kernel stencil A/B),
+--smoke for a tiny CPU-safe run.
 """
 
 from __future__ import annotations
@@ -54,11 +55,18 @@ def measure_tpu_native(size: int, num_envs: int, steps: int) -> float:
     # Fused sparse Pallas path when the grid supports it (one CA application
     # per step + tile-aligned); falls back to vmapped XLA.
     fused = core.supports_fused_step()
-    step = core.step_batched if fused else jax.vmap(core.step)
+    stencil = os.environ.get("GYMCA_BENCH_STENCIL", "auto")
+    if fused:
+        import functools
+
+        step = functools.partial(core.step_batched, stencil=stencil)
+    else:
+        step = jax.vmap(core.step)
     print(
         f"[bench] device={jax.devices()[0].device_kind} backend="
         f"{jax.default_backend()} path="
         f"{'sparse-pallas-kernel' if fused else 'vmapped-XLA'} "
+        f"stencil={stencil if fused else 'n/a'} "
         f"grid_dtype={core._grid_dtype} size={size} envs={num_envs} "
         f"steps={steps}",
         file=sys.stderr,

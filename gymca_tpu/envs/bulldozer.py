@@ -344,7 +344,14 @@ class BulldozerCore(CAEnvCore):
             self.nrows, self.ncols, self._grid_dtype.itemsize
         )
 
-    def step_batched(self, states: EnvState, actions, *, interpret: bool = False):
+    def step_batched(
+        self,
+        states: EnvState,
+        actions,
+        *,
+        interpret: bool = False,
+        stencil: str = "auto",
+    ):
         """Batched step over N envs via the fused Pallas kernel.
 
         Semantically identical to ``jax.vmap(self.step)`` (same key
@@ -443,6 +450,7 @@ class BulldozerCore(CAEnvCore):
             tree=self._tree,
             fire=self._fire,
             interpret=interpret,
+            stencil=stencil,
         )
         new_grid = new_grid.astype(states.grid.dtype)
 
