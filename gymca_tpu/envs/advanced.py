@@ -228,13 +228,24 @@ class AdvancedForestFireBulldozerEnv:
         self._veg_den_factor = veg_den_factor
 
         # --- time model -------------------------------------------------------
+        # ``speed_multiplier`` scales the agent's effective speed relative to
+        # the fire (> 1 = more agent steps per CA application).  DEVIATION
+        # NOTE: the reference stores this knob but never consumes it —
+        # ``advanced_bulldozer.py:103`` assigns it and the only other use is
+        # the run-name string (``jax_ppo.py:434``); the intended semantics
+        # (an agent-vs-fire speed curriculum) are implemented here.  The
+        # default 1.0 is bit-identical to the reference's timings.
         scale = (nrows + ncols) // 2
         self._t_env_any = t_any
         self._t_act_move = (
-            (1 / (speed_move * scale)) - t_any if t_move is None else t_move
+            (1 / (speed_move * speed_multiplier * scale)) - t_any
+            if t_move is None
+            else t_move
         )
         self._t_act_shoot = (
-            (1 / (speed_act * scale)) - self._t_act_move if t_shoot is None else t_shoot
+            (1 / (speed_act * speed_multiplier * scale)) - self._t_act_move
+            if t_shoot is None
+            else t_shoot
         )
         # QUIRK (advanced_bulldozer.py:753-754): unlike the classic Bulldozer,
         # not_move and no-shoot cost the FULL move/shoot time.

@@ -165,3 +165,25 @@ class TestRgb:
         assert not bool(jnp.array_equal(rgb[5, 5], base[5, 5]))
         # blue-dominant by day
         assert float(rgb[5, 5, 2]) > float(rgb[5, 5, 0])
+
+
+def test_speed_multiplier_scales_agent_speed():
+    """speed_multiplier scales the agent's per-action time cost (QUIRKS #12:
+    the reference stores this knob but never consumes it; we implement the
+    evident curriculum semantics).  Default 1.0 must keep the reference's
+    timing model bit-identical."""
+    mk = lambda m: AdvancedForestFireBulldozerEnv(
+        16, 16, key=jax.random.key(0), num_envs=1, speed_multiplier=m
+    )
+    e1, e4 = mk(1.0), mk(4.0)
+    scale = 16
+    assert e1._t_act_move == pytest.approx(1 / (0.12 * scale) - 0.001)
+    assert e4._t_act_move == pytest.approx(1 / (0.12 * 4 * scale) - 0.001)
+    # shoot time keeps the reference's chained derivation
+    assert e4._t_act_shoot == pytest.approx(
+        1 / (0.03 * 4 * scale) - e4._t_act_move
+    )
+    # faster agent => more agent steps per CA application
+    per_step_1 = e1._t_act_move + e1._t_act_shoot + e1._t_env_any
+    per_step_4 = e4._t_act_move + e4._t_act_shoot + e4._t_env_any
+    assert per_step_4 < per_step_1
