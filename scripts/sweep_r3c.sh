@@ -38,4 +38,12 @@ python scripts/train_curve.py --bf16 --tag adv256_sm4fix --size 256 \
   > outputs/sweep_r3/adv256_sm4fix.log 2>&1
 tail -2 outputs/sweep_r3/adv256_sm4fix.log
 
+# (5) combo re-run (the first attempt hung on a TPU dispatch at iter 820
+# and was killed): lr + entropy + REAL 2x agent speed together.
+python scripts/train_curve.py --bf16 --tag adv256_combo --size 256 \
+  --num-envs 32 --iters 2440 --seed 7 --pallas-ca --lr 1e-3 \
+  --ent-coef 0.05 --speed-multiplier 2 \
+  > outputs/sweep_r3/adv256_combo.log 2>&1
+tail -2 outputs/sweep_r3/adv256_combo.log
+
 echo "SWEEP C DONE"
