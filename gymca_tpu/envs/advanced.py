@@ -129,7 +129,7 @@ class AdvancedForestFireBulldozerEnv:
         enable_extensions: bool = False,
         enable_pinecones: bool = False,
         ca_repeat_mode: str = "single",
-        use_pallas_ca: bool = False,
+        use_pallas_ca: bool | None = None,
         **kwargs,
     ):
         self.nrows, self.ncols = nrows, ncols
@@ -139,8 +139,23 @@ class AdvancedForestFireBulldozerEnv:
         # Gated on tile alignment AND the kernel's VMEM budget — at ~512^2
         # the per-program working set exceeds VMEM and Mosaic refuses to
         # compile, so large grids fall back to the XLA path with a warning.
+        # Default (None) = ON where supported: training-curve overlays at
+        # 128² (means −621 fused vs −629 XLA, std ~74, 1.64× SPS) and 256²
+        # (−1487 vs −1485) match distributionally, and the kernel's
+        # stochastic fire spread is validated on hardware
+        # (scripts/validate_fused_ca_tpu.py).  Pass False for the
+        # bit-reproducible XLA path.
         from gymca_tpu.ops.pallas_alexandridis import supports_fused_alexandridis
 
+        if use_pallas_ca is None:
+            # Auto only compiles the kernel where Mosaic exists; CPU/GPU
+            # backends get the XLA path (Pallas-TPU is interpret-only there).
+            use_pallas_ca = (
+                jax.default_backend() == "tpu"
+                and ca_repeat_mode == "single"
+                and not enable_pinecones
+                and supports_fused_alexandridis(nrows, ncols)
+            )
         self.use_pallas_ca = bool(
             use_pallas_ca
             and ca_repeat_mode == "single"

@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--envs", type=int, default=8)
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--speed-multiplier", type=float, default=1.0)
+    ap.add_argument("--ca-repeat-mode", type=str, default="single",
+                    choices=("single", "modf"))
     a = ap.parse_args()
 
     from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
@@ -103,14 +105,15 @@ def main():
         env = AdvancedForestFireBulldozerEnv(
             a.size, a.size, key=jax.random.key(0), num_envs=a.envs,
             speed_multiplier=a.speed_multiplier,
-            use_pallas_ca=a.size >= 128,
+            ca_repeat_mode=a.ca_repeat_mode,
+            use_pallas_ca=(a.size >= 128 and a.ca_repeat_mode == "single"),
         )
         r = run_policy(env, name, a.steps, a.envs, a.speed_multiplier)
         print(json.dumps(r), flush=True)
         results.append(r)
     spread = results[-1]["mean_return"] - results[0]["mean_return"]
     print(f"# greedy-fire vs idle separation: {spread:+.1f} "
-          f"(sm={a.speed_multiplier})", file=sys.stderr)
+          f"(sm={a.speed_multiplier}, ca={a.ca_repeat_mode})", file=sys.stderr)
 
 
 if __name__ == "__main__":

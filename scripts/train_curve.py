@@ -29,6 +29,13 @@ def main():
                          "relative to the agent")
     ap.add_argument("--pallas-ca", action="store_true",
                     help="train through the fused Pallas Alexandridis CA")
+    ap.add_argument("--ca-repeat-mode", type=str, default="single",
+                    choices=("single", "modf"),
+                    help="'single' = reference JAX semantics (CA fires "
+                         "every step; speed knobs are bookkeeping only); "
+                         "'modf' = classic time-gated CA, where "
+                         "speed_multiplier really changes the agent/fire "
+                         "speed ratio")
     a = ap.parse_args()
 
     import jax
@@ -56,6 +63,7 @@ def main():
     env = AdvancedForestFireBulldozerEnv(
         a.size, a.size, key=jax.random.key(a.seed), num_envs=a.num_envs,
         speed_multiplier=a.speed_multiplier, use_pallas_ca=a.pallas_ca,
+        ca_repeat_mode=a.ca_repeat_mode,
     )
     trainer = PPOTrainer(env, args, key=jax.random.key(a.seed))
 
@@ -84,6 +92,8 @@ def main():
         overrides.append(f"ent={a.ent_coef:g}")
     if a.speed_multiplier != 1.0:
         overrides.append(f"speed_mult={a.speed_multiplier:g}")
+    if a.ca_repeat_mode != "single":
+        overrides.append(f"ca={a.ca_repeat_mode}")
     if a.pallas_ca:
         overrides.append("pallas-ca")
     blob = {

@@ -187,3 +187,27 @@ def test_speed_multiplier_scales_agent_speed():
     per_step_1 = e1._t_act_move + e1._t_act_shoot + e1._t_env_any
     per_step_4 = e4._t_act_move + e4._t_act_shoot + e4._t_env_any
     assert per_step_4 < per_step_1
+
+
+def test_use_pallas_ca_auto_default():
+    """use_pallas_ca=None (the default) auto-enables the fused CA only on a
+    TPU backend AND a supported grid; on the CPU test backend it must
+    resolve to the XLA path with no fallback warning (Pallas-TPU is
+    interpret-only off-hardware).  Explicit False always wins."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto_small = AdvancedForestFireBulldozerEnv(
+            16, 16, key=jax.random.key(0), num_envs=1
+        )
+        auto_big = AdvancedForestFireBulldozerEnv(
+            128, 128, key=jax.random.key(0), num_envs=1
+        )
+        forced_off = AdvancedForestFireBulldozerEnv(
+            128, 128, key=jax.random.key(0), num_envs=1, use_pallas_ca=False
+        )
+    assert auto_small.use_pallas_ca is False
+    assert forced_off.use_pallas_ca is False
+    expected = jax.default_backend() == "tpu"
+    assert auto_big.use_pallas_ca is expected
