@@ -140,11 +140,13 @@ class AdvancedForestFireBulldozerEnv:
         # the per-program working set exceeds VMEM and Mosaic refuses to
         # compile, so large grids fall back to the XLA path with a warning.
         # Default (None) = ON where supported: training-curve overlays at
-        # 128² (means −621 fused vs −629 XLA, std ~74, 1.64× SPS) and 256²
-        # (−1487 vs −1485) match distributionally, and the kernel's
-        # stochastic fire spread is validated on hardware
-        # (scripts/validate_fused_ca_tpu.py).  Pass False for the
-        # bit-reproducible XLA path.
+        # 128² (means −621 fused vs −629 XLA, std ~74) and 256² (−1487 vs
+        # −1485) match distributionally, the kernel's stochastic fire
+        # spread is validated on hardware (validate_fused_ca_tpu.py), and
+        # it is never slower — the big win is env-heavy workloads (1.8×
+        # env stepping at 256²); PPO training SPS is CNN-bound and
+        # measures neutral (clean probes: 8766 vs 8887 at 128²).  Pass
+        # False for the bit-reproducible XLA path.
         from gymca_tpu.ops.pallas_alexandridis import supports_fused_alexandridis
 
         if use_pallas_ca is None:
