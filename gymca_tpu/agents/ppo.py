@@ -133,6 +133,15 @@ class PPOTrainer:
         action_nvec = np.asarray(env.total_action_space.nvec[0])
         base_dims = action_nvec[:2].tolist()
         self.n_action_heads = len(action_nvec)
+        # Extension day/night accuracy is only a measurement when the action
+        # has extension heads AND the env actually consumes them — with
+        # ``enable_extensions=False`` the head still exists in the action
+        # space but is inert, so "accuracy" would just count policy noise
+        # (and if the head were absent, action[:, -1] would silently read
+        # the SHOOT column — the reference's latent bug, jax_ppo.py:524).
+        self._track_extension_accuracy = self.n_action_heads > 2 and bool(
+            getattr(env, "enable_extensions", True)
+        )
 
         self.network = Network(
             conv_count=args.exp.conv_count,
@@ -236,11 +245,16 @@ class PPOTrainer:
 
     def _update_episode_stats(self, stats, action, obs, next_info):
         is_night = obs[1]["per_env_context"]["is_night"]
-        ext_action = action[:, -1]
         # correct extension: see-invisible-fires (2) by day, unblur (1) by night
-        # (jax_ppo.py:524-531)
-        day_correct = ((1 - is_night) * (ext_action == 2)).astype(jnp.int32)
-        night_correct = (is_night * (ext_action == 1)).astype(jnp.int32)
+        # (jax_ppo.py:524-531); gated — see _track_extension_accuracy in
+        # __init__.
+        if self._track_extension_accuracy:
+            ext_action = action[:, -1]
+            day_correct = ((1 - is_night) * (ext_action == 2)).astype(jnp.int32)
+            night_correct = (is_night * (ext_action == 1)).astype(jnp.int32)
+        else:
+            day_correct = jnp.zeros_like(is_night, dtype=jnp.int32)
+            night_correct = jnp.zeros_like(is_night, dtype=jnp.int32)
 
         new_return = stats.episode_returns + next_info["reward"]
         new_length = stats.episode_lengths + 1
@@ -468,12 +482,16 @@ class PPOTrainer:
         metrics["games_finished"] = stats.amount_finished
         metrics["recent_return"] = stats.recent_returns.mean()
         metrics["recent_length"] = stats.recent_lengths.astype(jnp.float32).mean()
-        metrics["day_accuracy"] = stats.recent_day_correct.sum() / jnp.maximum(
-            stats.recent_day_steps.sum(), 1
-        )
-        metrics["night_accuracy"] = stats.recent_night_correct.sum() / jnp.maximum(
-            stats.recent_night_steps.sum(), 1
-        )
+        if self._track_extension_accuracy:
+            metrics["day_accuracy"] = stats.recent_day_correct.sum() / jnp.maximum(
+                stats.recent_day_steps.sum(), 1
+            )
+            metrics["night_accuracy"] = (
+                stats.recent_night_correct.sum()
+                / jnp.maximum(stats.recent_night_steps.sum(), 1)
+            )
+        # extensions inert -> the keys are simply absent rather than a fake
+        # 0% a plot could mistake for a measurement
         metrics["mean_reward"] = storage.rewards.mean()
         return agent_state, stats, next_obs, next_done, next_info, key, metrics
 

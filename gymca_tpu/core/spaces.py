@@ -130,10 +130,18 @@ class BoxSpec(Spec):
         object.__setattr__(self, "shape", _freeze(self.shape))
 
     def sample(self, key) -> jnp.ndarray:
-        high = self.high if np.isfinite(self.high) else 1.0
-        return jax.random.uniform(
-            key, self.shape, dtype=jnp.float32, minval=self.low, maxval=high
-        ).astype(self.dtype)
+        if not np.isfinite(self.high):
+            # unbounded-above interval: low + Exp(1), matching gymnasium's
+            # Box sampling for half-open intervals — every contained value
+            # has nonzero density (spec law: support(sample) == space)
+            x = self.low + jax.random.exponential(key, self.shape,
+                                                  dtype=jnp.float32)
+        else:
+            x = jax.random.uniform(
+                key, self.shape, dtype=jnp.float32, minval=self.low,
+                maxval=self.high,
+            )
+        return x.astype(self.dtype)
 
     def contains(self, x) -> bool:
         x = np.asarray(x)
@@ -157,7 +165,10 @@ class DiscreteSpec(Spec):
         return jax.random.randint(key, (), 0, self.n, dtype=TYPE_INT)
 
     def contains(self, x) -> bool:
-        return 0 <= int(x) < self.n
+        x = np.asarray(x)
+        if x.shape != () or not np.issubdtype(x.dtype, np.number):
+            return False  # non-scalar / non-numeric input is simply outside
+        return bool(x == int(x)) and 0 <= int(x) < self.n
 
     def to_gymnasium(self):
         import gymnasium.spaces as gs

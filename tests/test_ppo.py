@@ -173,6 +173,37 @@ def test_load_actor_greedy(tmp_path, trainer, env):
     assert (np.asarray(a1)[:, 0] < 9).all() and (np.asarray(a1)[:, 1] < 2).all()
 
 
+def test_extension_accuracy_gated_off(trainer, env):
+    """enable_extensions=False (module fixture default): the extension head
+    exists in the action space but is inert -> accuracy metrics must be
+    ABSENT and the day/night correct counters must never move (regression:
+    they used to count the inert head's noise as 'accuracy')."""
+    assert not trainer._track_extension_accuracy
+    st, stats, obs, done, info, key = _carry(trainer, env)
+    out = trainer.train_iteration(st, stats, obs, done, info, key)
+    stats2, metrics = out[1], out[-1]
+    assert "day_accuracy" not in metrics
+    assert "night_accuracy" not in metrics
+    assert int(jnp.sum(stats2.current_day_correct)) == 0
+    assert int(jnp.sum(stats2.current_night_correct)) == 0
+    assert int(jnp.sum(stats2.recent_day_correct)) == 0
+    assert int(jnp.sum(stats2.recent_night_correct)) == 0
+
+
+def test_extension_accuracy_present_when_enabled():
+    env = AdvancedForestFireBulldozerEnv(
+        SIZE, SIZE, key=jax.random.key(0), num_envs=N_ENVS,
+        enable_extensions=True,
+    )
+    trainer = PPOTrainer(env, small_args(), jax.random.key(1))
+    assert trainer._track_extension_accuracy
+    st, stats, obs, done, info, key = _carry(trainer, env)
+    metrics = trainer.train_iteration(st, stats, obs, done, info, key)[-1]
+    for k in ("day_accuracy", "night_accuracy"):
+        assert k in metrics
+        assert 0.0 <= float(metrics[k]) <= 1.0
+
+
 def test_metrics_logger(tmp_path):
     from gymca_tpu.utils.metrics import MetricsLogger, profile_trace
 

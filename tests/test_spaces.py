@@ -96,6 +96,25 @@ class TestOtherSpecs:
         d = DictSpec.of(a=DiscreteSpec(2), b=BoxSpec(0, 1, shape=()))
         assert d.contains(jax.tree.map(np.asarray, d.sample(key)))
 
+    def test_box_unbounded_high_sample_law(self, key):
+        """Unbounded-above Box: samples stay in the space AND the sampler's
+        support is unbounded (regression: it used to clamp high=inf to 1.0,
+        so the Bulldozer time space contained values it could never sample)."""
+        spec = BoxSpec(0.0, float("inf"), shape=(64,))
+        s = np.asarray(spec.sample(key))
+        assert spec.contains(s)
+        # Exp(1) over 64 draws exceeds 1.0 with probability 1 - (1-e^-1)^64
+        assert float(s.max()) > 1.0
+
+    def test_discrete_contains_arrays_no_crash(self, key):
+        spec = DiscreteSpec(9)
+        assert spec.contains(np.asarray(3))           # 0-d array
+        assert not spec.contains(np.asarray([1, 2]))  # vector is outside
+        assert not spec.contains(np.asarray(9))
+        assert not spec.contains(np.asarray(-1))
+        assert not spec.contains(np.asarray(2.5))     # non-integral
+        assert spec.contains(np.asarray(2.0))         # integral float ok
+
     def test_gymnasium_conversion(self):
         spec = TupleSpec(
             (
