@@ -23,6 +23,16 @@ class PPOArgs:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     target_kl: Optional[float] = None
+    # --- potential-based reward shaping (policy-invariant; Ng et al. 1999).
+    # Both default 0.0 = off (reference parity).  Used for long-horizon
+    # credit assignment at >=128^2 under modf CA semantics, where the useful
+    # behavior (walk hundreds of cells to the fire, then douse the front) is
+    # too many undiscounted steps from a random init (docs/learning_at_scale.md).
+    # shape_tree_coef: phi += coef * trees_remaining_fraction  (dense signal
+    #   for slowing fire loss); shape_dist_coef: phi -= coef *
+    #   dist(agent, fire centroid)/diag  (dense signal for approach).
+    shape_tree_coef: float = 0.0
+    shape_dist_coef: float = 0.0
 
 
 @dataclass
@@ -69,6 +79,11 @@ class ExperimentArgs:
     # the conv-heavy update at 256^2 obs; off by default for float32 parity
     # with the reference curves.
     bf16_compute: bool = False
+    # Concatenate the agent's normalized (row/H, col/W) position to the CNN
+    # hidden vector before the actor/critic MLPs.  The agent is a single
+    # black pixel in the RGB obs; at >=128^2 the torso plausibly cannot
+    # localize it.  Off by default (reference-parity model).
+    position_features: bool = False
     checkpoint_every: int = 200
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None

@@ -154,10 +154,19 @@ class PPOTrainer:
         )
         self.critic = Critic()
 
+        self.position_features = bool(args.exp.position_features)
+        self._shaping = (
+            args.ppo.shape_tree_coef != 0.0 or args.ppo.shape_dist_coef != 0.0
+        )
+
         obs, _ = env.reset()
         grid_sample = obs[0][:1]
         network_params = self.network.init(net_key, grid_sample)
         hidden = self.network.apply(network_params, grid_sample)
+        if self.position_features:
+            hidden = jnp.concatenate(
+                [hidden, self._position_feats(obs[1]["position"][:1])], axis=-1
+            )
         actor_params = self.actor.init(actor_key, hidden)
         critic_params = self.critic.init(critic_key, hidden)
 
@@ -199,10 +208,25 @@ class PPOTrainer:
 
     # ----------------------------------------------------------- policy fns
 
+    def _position_feats(self, position):
+        scale = jnp.asarray([self.env.nrows, self.env.ncols], jnp.float32)
+        return position.astype(jnp.float32) / scale
+
+    def _torso(self, params, grid, position):
+        """CNN hidden, optionally augmented with normalized agent position
+        (args.exp.position_features — the agent is one pixel in the RGB obs
+        and the torso can lose it at large grids)."""
+        hidden = self.network.apply(params["network_params"], grid)
+        if self.position_features:
+            hidden = jnp.concatenate(
+                [hidden, self._position_feats(position)], axis=-1
+            )
+        return hidden
+
     def get_action_and_value(self, agent_state, obs, key):
         """Sample per-head actions via the Gumbel trick (jax_ppo.py:866-899)."""
         grid_obs, context = obs
-        hidden = self.network.apply(agent_state.params["network_params"], grid_obs)
+        hidden = self._torso(agent_state.params, grid_obs, context["position"])
         logits_set = self.actor.apply(agent_state.params["actor_params"], hidden)
 
         actions, logprobs = [], []
@@ -223,7 +247,7 @@ class PPOTrainer:
     def get_action_and_value2(self, params, x, action):
         """Logprob/entropy/value of given actions (jax_ppo.py:901-930)."""
         grid, position = x
-        hidden = self.network.apply(params["network_params"], grid)
+        hidden = self._torso(params, grid, position)
         logits_set = self.actor.apply(params["actor_params"], hidden)
 
         logprobs, entropies = [], []
@@ -297,6 +321,36 @@ class PPOTrainer:
 
     # ----------------------------------------------------------------- rollout
 
+    def _potential(self, context):
+        """Shaping potential phi(s) per env (see PPOArgs.shape_*_coef).
+
+        phi = tree_coef * trees_fraction - dist_coef * dist(agent, fire
+        centroid)/diag.  Computed from the true grid + position — a few
+        full-grid reductions, negligible next to the CNN forward."""
+        pe = context["per_env_context"]
+        tg = pe["true_grid"]
+        h, w = tg.shape[-2], tg.shape[-1]
+        phi = jnp.zeros(tg.shape[0], jnp.float32)
+        tree_c = self.args.ppo.shape_tree_coef
+        dist_c = self.args.ppo.shape_dist_coef
+        if tree_c != 0.0:
+            trees = jnp.sum(tg == self.env._tree, axis=(-2, -1))
+            phi = phi + tree_c * trees.astype(jnp.float32) / (h * w)
+        if dist_c != 0.0:
+            fire = (tg == self.env._fire).astype(jnp.float32)
+            tot = fire.sum((-2, -1))
+            rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+            cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+            denom = jnp.maximum(tot, 1.0)
+            cr = (fire * rows).sum((-2, -1)) / denom
+            cc = (fire * cols).sum((-2, -1)) / denom
+            pos = context["position"].astype(jnp.float32)
+            dist = jnp.sqrt(
+                (cr - pos[:, 0]) ** 2 + (cc - pos[:, 1]) ** 2
+            ) / math.sqrt(h * h + w * w)
+            phi = phi - dist_c * jnp.where(tot > 0, dist, 0.0)
+        return phi
+
     def _step_once(self, carry, _):
         agent_state, stats, obs, done, info, key = carry
         action, logprob, value, key = self.get_action_and_value(
@@ -308,6 +362,16 @@ class PPOTrainer:
         next_obs, reward, next_done, _, next_info = self.env.conditional_reset(
             step_tuple, action
         )
+        train_reward = reward
+        if self._shaping:
+            # potential-based shaping r' = r + gamma*phi(s') - phi(s),
+            # phi := 0 at terminal states (Ng et al. 1999) — the LEARNING
+            # signal only; episode statistics above use the true reward.
+            phi_s = self._potential(obs[1])
+            phi_sp = jnp.where(
+                step_tuple[2], 0.0, self._potential(step_tuple[0][1])
+            )
+            train_reward = reward + self.args.ppo.gamma * phi_sp - phi_s
         storage = Storage(
             grid_obs=obs[0],
             position_obs=obs[1]["position"],
@@ -315,7 +379,7 @@ class PPOTrainer:
             logprobs=logprob,
             dones=done,
             values=value,
-            rewards=reward,
+            rewards=train_reward,
             returns=jnp.zeros_like(reward),
             advantages=jnp.zeros_like(reward),
         )
@@ -326,7 +390,8 @@ class PPOTrainer:
     def _compute_gae(self, agent_state, next_obs, next_done, storage):
         next_value = self.critic.apply(
             agent_state.params["critic_params"],
-            self.network.apply(agent_state.params["network_params"], next_obs[0]),
+            self._torso(agent_state.params, next_obs[0],
+                        next_obs[1]["position"]),
         ).squeeze(-1)
 
         num_envs = storage.rewards.shape[1]
@@ -507,7 +572,7 @@ class PPOTrainer:
 
         if not hasattr(self, "_jit_video_step"):
             def video_step(params, obs, info):
-                hidden = self.network.apply(params["network_params"], obs[0])
+                hidden = self._torso(params, obs[0], obs[1]["position"])
                 logits_set = self.actor.apply(params["actor_params"], hidden)
                 action = jnp.stack(
                     [jnp.argmax(l, axis=-1) for l in logits_set], axis=1
@@ -619,11 +684,18 @@ def load_actor(params_path: str, env, args: Optional[Args] = None):
     ckpt = CheckpointManager(params_path)
     agent_state, _ = ckpt.restore_state(trainer.agent_state, trainer.key)
 
-    network, actor = trainer.network, trainer.actor
+    actor = trainer.actor
 
     @jax.jit
-    def get_action(obs_grid):
-        hidden = network.apply(agent_state.params["network_params"], obs_grid)
+    def get_action(obs_grid, position=None):
+        """Greedy action.  ``position`` is required iff the checkpoint was
+        trained with ``position_features``."""
+        if trainer.position_features and position is None:
+            raise ValueError(
+                "this checkpoint was trained with position_features=True; "
+                "pass obs[1]['position'] as the second argument"
+            )
+        hidden = trainer._torso(agent_state.params, obs_grid, position)
         logits_set = actor.apply(agent_state.params["actor_params"], hidden)
         return jnp.stack(
             [jnp.argmax(l, axis=-1) for l in logits_set], axis=1

@@ -36,6 +36,21 @@ def main():
                          "'modf' = classic time-gated CA, where "
                          "speed_multiplier really changes the agent/fire "
                          "speed ratio")
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="discount (default 0.99; ~0.999 for long modf "
+                         "horizons)")
+    ap.add_argument("--gae-lambda", type=float, default=None)
+    ap.add_argument("--shape-tree-coef", type=float, default=0.0,
+                    help="potential-based shaping: phi += c * trees_frac")
+    ap.add_argument("--shape-dist-coef", type=float, default=0.0,
+                    help="potential-based shaping: phi -= c * "
+                         "dist(agent, fire centroid)/diag")
+    ap.add_argument("--position-features", action="store_true",
+                    help="feed normalized agent position to actor/critic")
+    ap.add_argument("--sm-schedule", type=str, default=None,
+                    help="speed-multiplier curriculum, e.g. '6:0.4,3:0.3,1:0.3'"
+                         " = sm 6 for 40%% of iters, then 3, then 1; params "
+                         "carry across stages (overrides --speed-multiplier)")
     a = ap.parse_args()
 
     import jax
@@ -50,37 +65,70 @@ def main():
         ppo_kwargs["learning_rate"] = a.lr
     if a.ent_coef is not None:
         ppo_kwargs["ent_coef"] = a.ent_coef
-    args = Args(
-        ppo=PPOArgs(**ppo_kwargs),
-        env=EnvArgs(num_envs=a.num_envs, size=a.size,
-                    speed_multiplier=a.speed_multiplier),
-        viz=VisualizationArgs(),
-        exp=ExperimentArgs(
-            total_timesteps=a.iters * a.num_envs * 128,
-            num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
-        ),
-    )
-    env = AdvancedForestFireBulldozerEnv(
-        a.size, a.size, key=jax.random.key(a.seed), num_envs=a.num_envs,
-        speed_multiplier=a.speed_multiplier, use_pallas_ca=a.pallas_ca,
-        ca_repeat_mode=a.ca_repeat_mode,
-    )
-    trainer = PPOTrainer(env, args, key=jax.random.key(a.seed))
+    if a.gamma is not None:
+        ppo_kwargs["gamma"] = a.gamma
+    if a.gae_lambda is not None:
+        ppo_kwargs["gae_lambda"] = a.gae_lambda
+    ppo_kwargs["shape_tree_coef"] = a.shape_tree_coef
+    ppo_kwargs["shape_dist_coef"] = a.shape_dist_coef
+
+    # curriculum stages: [(speed_multiplier, num_iters)]
+    if a.sm_schedule:
+        stages = []
+        for part in a.sm_schedule.split(","):
+            sm_s, frac_s = part.split(":")
+            stages.append((float(sm_s), float(frac_s)))
+        total_frac = sum(f for _, f in stages)
+        stages = [(sm, max(int(round(a.iters * f / total_frac)), 1))
+                  for sm, f in stages]
+    else:
+        stages = [(a.speed_multiplier, a.iters)]
+
+    def make_args(sm, iters):
+        return Args(
+            ppo=PPOArgs(**ppo_kwargs),
+            env=EnvArgs(num_envs=a.num_envs, size=a.size,
+                        speed_multiplier=sm),
+            viz=VisualizationArgs(),
+            exp=ExperimentArgs(
+                total_timesteps=iters * a.num_envs * 128,
+                num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
+                position_features=a.position_features,
+            ),
+        )
 
     history = []
-
-    def log_fn(iteration, metrics):
-        history.append(metrics)
-        if iteration % 20 == 0 or iteration == 1:
-            print(
-                f"iter {iteration}/{a.iters}: SPS={metrics['SPS']} "
-                f"return={metrics.get('episodic_return', float('nan')):.2f} "
-                f"loss={metrics.get('loss', float('nan')):.4f}",
-                flush=True,
-            )
-
+    carry_state, carry_key = None, None
     t0 = time.time()
-    trainer.train(num_iterations=a.iters, log_fn=log_fn)
+    for stage_i, (sm, stage_iters) in enumerate(stages):
+        env = AdvancedForestFireBulldozerEnv(
+            a.size, a.size, key=jax.random.key(a.seed), num_envs=a.num_envs,
+            speed_multiplier=sm, use_pallas_ca=a.pallas_ca,
+            ca_repeat_mode=a.ca_repeat_mode,
+        )
+        trainer = PPOTrainer(env, make_args(sm, stage_iters),
+                             key=jax.random.key(a.seed))
+        if carry_state is not None:  # params/opt-state carry across stages
+            trainer.agent_state = carry_state
+            trainer.key = carry_key
+        if len(stages) > 1:
+            print(f"[stage {stage_i + 1}/{len(stages)}] sm={sm} "
+                  f"iters={stage_iters}", flush=True)
+
+        def log_fn(iteration, metrics, _sm=sm):
+            metrics = dict(metrics)
+            metrics["speed_multiplier"] = _sm
+            history.append(metrics)
+            if iteration % 20 == 0 or iteration == 1:
+                print(
+                    f"iter {len(history)}/{a.iters}: SPS={metrics['SPS']} "
+                    f"return={metrics.get('episodic_return', float('nan')):.2f} "
+                    f"loss={metrics.get('loss', float('nan')):.4f}",
+                    flush=True,
+                )
+
+        trainer.train(num_iterations=stage_iters, log_fn=log_fn)
+        carry_state, carry_key = trainer.agent_state, trainer.key
     wall = time.time() - t0
 
     out_dir = Path(a.out)

@@ -204,6 +204,66 @@ def test_extension_accuracy_present_when_enabled():
         assert 0.0 <= float(metrics[k]) <= 1.0
 
 
+def test_reward_shaping_and_position_features(env):
+    """Potential-based shaping changes the TRAINING reward (storage) but not
+    the episode statistics; position_features widens the actor/critic input
+    by 2."""
+    shaped = PPOTrainer(
+        env,
+        Args(
+            ppo=PPOArgs(num_minibatches=2, update_epochs=2,
+                        shape_tree_coef=1.0, shape_dist_coef=0.5),
+            env=EnvArgs(num_envs=N_ENVS, size=SIZE),
+            viz=VisualizationArgs(),
+            exp=ExperimentArgs(total_timesteps=N_ENVS * 8 * 2, num_ppo_steps=8,
+                               seed=3, position_features=True),
+        ),
+        jax.random.key(1),
+    )
+    plain = PPOTrainer(env, small_args(), jax.random.key(1))
+    assert shaped._shaping and not plain._shaping
+
+    carry = _carry(plain, env)
+    m_shaped = shaped.train_iteration(shaped.agent_state, *carry[1:])[-1]
+    m_plain = plain.train_iteration(plain.agent_state, *carry[1:])[-1]
+    # mean_reward reflects the shaped learning signal
+    assert float(m_shaped["mean_reward"]) != float(m_plain["mean_reward"])
+
+    # actor's first Dense kernel: 128 CNN features + 2 position features
+    k_shaped = jax.tree.leaves(shaped.agent_state.params["actor_params"])[1]
+    k_plain = jax.tree.leaves(plain.agent_state.params["actor_params"])[1]
+    assert k_shaped.shape[0] == k_plain.shape[0] + 2
+
+
+def test_potential_is_policy_invariant_form(trainer, env):
+    """phi is a pure function of state: same context -> same potential, and
+    moving the agent toward the fire increases phi when dist_coef > 0."""
+    t = PPOTrainer(
+        env,
+        Args(
+            ppo=PPOArgs(shape_dist_coef=1.0),
+            env=EnvArgs(num_envs=N_ENVS, size=SIZE),
+            viz=VisualizationArgs(),
+            exp=ExperimentArgs(total_timesteps=1, num_ppo_steps=8, seed=3),
+        ),
+        jax.random.key(1),
+    )
+    obs, _ = env.reset()
+    ctx = obs[1]
+    phi1 = t._potential(ctx)
+    phi2 = t._potential(ctx)
+    np.testing.assert_array_equal(np.asarray(phi1), np.asarray(phi2))
+
+    # place the agent ON the fire centroid -> distance term vanishes
+    tg = np.asarray(ctx["per_env_context"]["true_grid"])
+    fire_pos = np.argwhere(tg[0] == 2)[0]
+    ctx_near = dict(ctx)
+    ctx_near["position"] = jnp.asarray(
+        np.tile(fire_pos, (N_ENVS, 1)), jnp.int32
+    )
+    assert float(t._potential(ctx_near)[0]) > float(phi1[0])
+
+
 def test_metrics_logger(tmp_path):
     from gymca_tpu.utils.metrics import MetricsLogger, profile_trace
 
