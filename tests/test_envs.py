@@ -146,6 +146,21 @@ class TestRegistration:
             env = gym.make(env_id)
             assert env is not None
 
+    def test_env_checker(self):
+        """gymnasium's own API contract checker on both registered envs
+        (reference contract: tests/test_ca_env.py:17-75)."""
+        import warnings
+
+        import gymnasium as gym
+        from gymnasium.utils.env_checker import check_env
+
+        for env_id in gymca_tpu.REGISTERED_CA_ENVS:
+            env = gym.make(env_id).unwrapped
+            with warnings.catch_warnings():
+                # render_mode warnings are cosmetic; API violations raise
+                warnings.simplefilter("ignore")
+                check_env(env, skip_render_check=True)
+
     def test_prototypes_across_sizes(self):
         for shape in [(5, 5), (12, 16)]:
             env = ForestFireHelicopterEnv(*shape, seed=0)

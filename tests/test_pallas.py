@@ -242,6 +242,79 @@ def test_deferred_edit_log(core, key):
     assert int(states2.grid[0, pos[0], pos[1]]) == 0  # flushed eagerly now
 
 
+def test_edit_log_overflow_matches_vmap_step(key):
+    """Edit-log OVERFLOW class (envs/bulldozer.py:427-441): timings tuned so
+    the 64-entry cap binds.  delta = t_shoot + t_any = 0.0051 wants
+    floor(1/delta)+1 = 197 slots -> capped at 64; step time 0.0145 crosses
+    the CA period only at step 69.  A move-right+shoot policy over an
+    all-tree row therefore: logs hits at steps 1..64, OVERFLOWS (kernel
+    eager-modify class) at steps 65..68, then flushes the full log at the
+    step-69 CA application — with pending edits and an overflow write
+    interleaved.  Every step must match the eager ``vmap(step)`` path
+    bit-for-bit on materialized grid, reward, hit, and counts."""
+    core = BulldozerCore(
+        H, W, grid_dtype=jnp.int32,
+        t_move=0.0094, t_shoot=0.005, t_any=0.0001,
+        pos_bull=(8, 4), pos_fire=(15, 120),
+    )
+    assert core._edit_log_k == 64
+    assert core.supports_fused_step()
+
+    states = jax.vmap(core.initial_state)(jax.random.split(key, 1))
+    # all-tree grid with one remote fire to keep the episode live
+    grid = jnp.full_like(states.grid, 3).at[0, 15, 120].set(25)
+    states = states.replace(
+        grid=grid,
+        context={
+            **states.context,
+            "tree_count": jnp.sum(grid == 3, axis=(1, 2)).astype(
+                states.context["tree_count"].dtype
+            ),
+            "fire_count": jnp.sum(grid == 25, axis=(1, 2)).astype(
+                states.context["fire_count"].dtype
+            ),
+        },
+    )
+    states_eager = states
+    act = jnp.asarray([[5, 1]], jnp.int32)  # move right + shoot
+    eager_step = jax.jit(jax.vmap(core.step))
+
+    saw_overflow = saw_flush = False
+    for step in range(1, 73):
+        cnt_before = int(states.context["edit_count"][0])
+        states, out = core.step_batched(states, act, interpret=True)
+        states_eager, out_eager = eager_step(states_eager, act)
+        cnt = int(states.context["edit_count"][0])
+
+        np.testing.assert_array_equal(
+            np.asarray(core.materialize_grid(states)),
+            np.asarray(states_eager.grid),
+            err_msg=f"step {step}",
+        )
+        assert float(out.reward[0]) == float(out_eager.reward[0]), step
+        assert bool(out.info["hit"][0]) == bool(out_eager.info["hit"][0]), step
+        for k in ("tree_count", "fire_count", "time"):
+            np.testing.assert_allclose(
+                np.asarray(states.context[k]),
+                np.asarray(states_eager.context[k]),
+                err_msg=f"step {step} {k}",
+            )
+
+        if cnt == 64 and cnt_before == 64 and bool(out.info["hit"][0]):
+            # overflow: hit with a FULL log -> the kernel wrote eagerly;
+            # the raw (unmaterialized) grid must already show the write
+            saw_overflow = True
+            pos = np.asarray(states.context["position"][0])
+            assert int(states.grid[0, pos[0], pos[1]]) == 0, step
+        if cnt < cnt_before:
+            saw_flush = True  # CA application replayed + cleared the log
+            assert cnt == 0, step
+
+    assert saw_overflow, "timings never made the edit-log cap bind"
+    assert saw_flush, "CA never fired; flush path not exercised"
+    assert not bool(states.done[0])
+
+
 def test_step_batched_done_freeze(core, key):
     """Finished envs: grid frozen, reward 0, counters frozen."""
     keys = jax.random.split(key, 2)
