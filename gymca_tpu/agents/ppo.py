@@ -172,11 +172,13 @@ class PPOTrainer:
 
         def linear_schedule(count):
             # anneal after each (num_minibatches * update_epochs) grad updates
-            # (jax_ppo.py:677-702)
+            # (jax_ppo.py:677-702); clamped at 0 so a count beyond the
+            # planned horizon (e.g. a restored/carried optimizer state) can
+            # never produce a NEGATIVE learning rate
             frac = 1.0 - (
                 count // (args.ppo.num_minibatches * args.ppo.update_epochs)
             ) / max(args.num_iterations, 1)
-            return args.ppo.learning_rate * frac
+            return args.ppo.learning_rate * jnp.maximum(frac, 0.0)
 
         self.agent_state = TrainState.create(
             apply_fn=None,

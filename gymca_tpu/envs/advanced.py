@@ -130,15 +130,18 @@ class AdvancedForestFireBulldozerEnv:
         enable_pinecones: bool = False,
         ca_repeat_mode: str = "single",
         use_pallas_ca: bool | None = None,
+        obs_dtype=jnp.uint8,
         **kwargs,
     ):
         self.nrows, self.ncols = nrows, ncols
         self.num_envs = num_envs
         # Fused Pallas CA path (performance mode: in-kernel PRNG,
         # distributionally equivalent to the XLA path, not bit-identical).
-        # Gated on tile alignment AND the kernel's VMEM budget — at ~512^2
-        # the per-program working set exceeds VMEM and Mosaic refuses to
-        # compile, so large grids fall back to the XLA path with a warning.
+        # Gated on tile alignment AND the kernel's VMEM budget: <=~320^2
+        # runs as one whole-lattice program, 512^2-1024^2 run the row-band
+        # tiled kernel (halo rows from neighbor blocks); past W=1024 the
+        # (W, W) cumsum matrix alone blows VMEM and the env falls back to
+        # the XLA path with a warning.
         # Default (None) = ON where supported: training-curve overlays at
         # 128² (means −621 fused vs −629 XLA, std ~74) and 256² (−1487 vs
         # −1485) match distributionally, the kernel's stochastic fire
@@ -176,6 +179,13 @@ class AdvancedForestFireBulldozerEnv:
                 "falling back to the XLA CA path",
                 stacklevel=2,
             )
+        # RGB observation dtype.  uint8 (default) quarters the obs HBM
+        # traffic of every step AND the PPO rollout storage (128 steps x N
+        # envs x H x W x 3); palette colors are exact integers, only the
+        # dousing-tint mixes round (to the nearest of 256 levels — the CNN
+        # consumes grid/255 so the difference is < 0.2% of one input unit).
+        # Pass jnp.float32 for bit-parity with the reference's float obs.
+        self._obs_dtype = jnp.dtype(obs_dtype)
         self.title = f"ForestFireBulldozer{nrows}x{ncols}"
         self.speed_multiplier = speed_multiplier
         self.middle_fire = middle_fire
@@ -481,7 +491,9 @@ class AdvancedForestFireBulldozerEnv:
             & (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 1) == position[1])
         )
         rgb = jnp.where(at_pos[..., None], 0.0, rgb)
-        return rgb
+        if self._obs_dtype == jnp.uint8:
+            rgb = jnp.round(rgb)
+        return rgb.astype(self._obs_dtype)
 
     def _display_grid(self, extended_grid):
         """First ACTIVE extension channel, else base channel

@@ -126,6 +126,15 @@ def apply_extensions(grid, ext_action_bits, is_night, enable_extensions: bool,
     selection from the combinatorial action id).  Returns a list of (H, W)
     channels, one per extension, in registry order.
     """
+    if not enable_extensions:
+        # extensions inert: the channels are definitionally zero — skip the
+        # blur/visibility transforms entirely rather than leaving dead
+        # compute for XLA's constant-folder to find
+        return [
+            jnp.zeros_like(grid)
+            for reg in registry
+            for _ in reg.extensions
+        ]
     channels = []
     i = 0
     for reg in registry:
@@ -134,11 +143,10 @@ def apply_extensions(grid, ext_action_bits, is_night, enable_extensions: bool,
                 grid, is_night, skip_visibility=ext.skip_visibility,
                 skip_blur=ext.skip_blur,
             )
-            gate = (ext_action_bits[i] > 0) if enable_extensions else False
             channels.append(
-                jnp.where(gate, transformed, jnp.zeros_like(grid)).astype(
-                    grid.dtype
-                )
+                jnp.where(
+                    ext_action_bits[i] > 0, transformed, jnp.zeros_like(grid)
+                ).astype(grid.dtype)
             )
             i += 1
     return channels

@@ -180,21 +180,14 @@ def _alexandridis_kernel(
 _VMEM_BUDGET_FUSED = 14 * 1024 * 1024
 
 
-def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
-    """VMEM-budget gate for the fused CA kernel.
-
-    Per grid program the pipeline double-buffers 13 (H, W) f32 input planes
-    (grid/age/dousing/vdf + 9 slope directions) and 2 outputs, plus the
-    shared bf16 banded-ones stacks; past ~320^2 that blows the ~16 MB VMEM
-    and Mosaic refuses to compile — callers must fall back to the XLA path
-    (mirrors ``supports_sparse_kernel`` for the windy kernel).
-    """
+def _radius_for(h: int) -> int:
     import math
 
-    if h % 8 != 0 or w % 128 != 0:
-        return False
-    if radius is None:
-        radius = max(math.ceil(math.log2(max(h, 4))) - 2, 1)
+    return max(math.ceil(math.log2(max(h, 4))) - 2, 1)
+
+
+def _fits_single_program(h: int, w: int, radius: int) -> bool:
+    """One grid program holds the WHOLE (H, W) lattice (original layout)."""
     n_bands = max(radius, 2)
     plane = h * w * 4
     blocks = 2 * (13 + 2) * plane  # double-buffered in/out (H, W) f32 planes
@@ -203,11 +196,238 @@ def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
     return blocks + bands + scratch <= _VMEM_BUDGET_FUSED
 
 
+def _tiled_band_rows(h: int, w: int, radius: int):
+    """Pick the row-band height for the tiled kernel, or None if no valid
+    tiling exists.  Constraints: the halo (max(radius, 2) rounded up to the
+    8-sublane alignment Mosaic wants for static row slices) must fit inside
+    one band; the per-program working set — dtype-aware pipeline blocks,
+    the rectangular row banded-ones stack, the single (W, W) triangular
+    cumsum matrix, and the live temporaries — must fit VMEM."""
+    halo = max(radius, 2)
+    halo = (halo + 7) & ~7  # 8-aligned static slices
+    n_bands = max(radius, 2)
+    for band in (256, 128, 64, 32, 16, 8):
+        if h % band or band < halo:
+            continue
+        ext_rows = band + 2 * halo
+        p_f32, p_bf16, p_i8 = band * w * 4, band * w * 2, band * w
+        blocks = 2 * (  # double-buffered pipeline blocks, actual dtypes
+            3 * p_i8          # grid prev/cur/next
+            + p_f32           # age
+            + 3 * p_i8        # dousing prev/cur/next
+            + p_bf16          # vdf
+            + 9 * p_bf16      # slope
+            + p_i8 + p_f32    # outputs
+        )
+        mats = 2 * (n_bands * band * ext_rows * 2 + w * w * 2)
+        scratch = 10 * ext_rows * w * 4
+        if blocks + mats + scratch <= _VMEM_BUDGET_FUSED:
+            return band, halo
+    return None
+
+
+def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
+    """Gate for the fused CA kernel.
+
+    Small grids (<= ~320^2) run as ONE grid program over the whole lattice;
+    larger grids run the ROW-BAND TILED variant (halo rows assembled from
+    the neighboring blocks, rectangular banded row matmuls).  The remaining
+    ceiling is the (W, W) column banded-ones stack: past W = 512 it alone
+    blows VMEM, so e.g. 1024^2 still falls back to the XLA path (the
+    reference's own JAX CA handles any size, ca_alexandridis_jax.py:321-424,
+    at ~3 orders of magnitude lower throughput)."""
+    if h % 8 != 0 or w % 128 != 0:
+        return False
+    if radius is None:
+        radius = _radius_for(h)
+    return _fits_single_program(h, w, radius) or (
+        _tiled_band_rows(h, w, radius) is not None
+    )
+
+
+def build_banded_ones_rect(band: int, halo: int, n_bands: int) -> jnp.ndarray:
+    """(n_bands, band, band + 2*halo) bf16 rectangular banded-ones stack for
+    the tiled row direction: plane ``r-1`` maps extended rows (halo offset)
+    to band rows within Chebyshev distance r."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (band, band + 2 * halo), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (band, band + 2 * halo), 1)
+    d = jnp.abs(ii + halo - jj)
+    return jnp.stack(
+        [(d <= r).astype(jnp.bfloat16) for r in range(1, n_bands + 1)]
+    )
+
+
+def build_triu_ones(n: int) -> jnp.ndarray:
+    """(n, n) bf16 upper-triangular ones: X @ triu = column-wise inclusive
+    cumsum.  ONE matrix serves every box radius (box_r along columns =
+    cum[:, j+r] - cum[:, j-r-1]), replacing the per-radius (W, W) banded
+    stack that dominated the tiled kernel's VMEM."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (ii <= jj).astype(jnp.bfloat16)
+
+
+def _alexandridis_tiled_kernel(
+    grid_prev_ref,  # (1, B, W) int8 — row-block b-1 (clamped at the edge)
+    grid_cur_ref,  # (1, B, W) int8 — row-block b
+    grid_next_ref,  # (1, B, W) int8 — row-block b+1 (clamped)
+    age_ref,  # (1, B, W) f32 — local rows only
+    dous_prev_ref,  # (1, B, W) int8
+    dous_cur_ref,  # (1, B, W) int8
+    dous_next_ref,  # (1, B, W) int8
+    vdf_ref,  # (1, B, W) bf16
+    slope_ref,  # (1, 3, 3, B, W) bf16
+    bands_rows_ref,  # (NB, B, B + 2*HALO) bf16 — rectangular, constant block
+    triu_ref,  # (W, W) bf16 upper-triangular ones — constant block
+    wind_ref,  # (1, 1, 8) f32 SMEM
+    seed_ref,  # (1, 1, 2) int32 SMEM
+    out_grid_ref,  # (1, B, W) int8
+    out_age_ref,  # (1, B, W) f32
+    *,
+    empty: int,
+    tree: int,
+    fire: int,
+    layer_coeffs: Tuple[float, ...],
+    dousing_border: float,
+    dousing_inner: float,
+    fire_age_min: int,
+    fire_age_max: int,
+    halo: int,
+    total_rows: int,
+):
+    """Row-band tiled variant of :func:`_alexandridis_kernel` for lattices
+    whose full plane set exceeds VMEM (~>320^2).  Each (env, band) program
+    assembles an extended (B + 2*halo, W) slab from the neighbor row-blocks
+    — same-array triple-fetch via three BlockSpecs with clamped index maps,
+    so no manual DMA — masks out-of-domain halo rows, and runs the exact
+    single-program math: row box sums via RECTANGULAR banded matmuls
+    ((B, B+2h) @ (B+2h, W)), column box sums via ONE shared triangular
+    cumsum matmul + lane-roll differences (cum[:, j+r] - cum[:, j-r-1]),
+    ignition from one uniform per cell.  The PRNG is seeded per
+    (env, band): band programs draw independent streams."""
+    b = pl.program_id(1)
+    # Mix the band index into both seed words (golden-ratio odd constant,
+    # written as its int32 bit pattern) — a third prng_seed operand fails
+    # Mosaic lowering ("UNKNOWN SSA VALUE"), so band independence comes
+    # from the mix instead.
+    bmix = b * jnp.int32(-1640531527)  # 0x9E3779B9 as int32
+    pltpu.prng_seed(seed_ref[0, 0, 0] ^ bmix, seed_ref[0, 0, 1] + b)
+
+    bsz = grid_cur_ref.shape[1]
+    w = grid_cur_ref.shape[2]
+    ext_rows = bsz + 2 * halo
+
+    def assemble(prev_ref, cur_ref, next_ref, fill):
+        ext = jnp.concatenate(
+            [
+                prev_ref[0, bsz - halo:].astype(jnp.int32),
+                cur_ref[0].astype(jnp.int32),
+                next_ref[0, :halo].astype(jnp.int32),
+            ],
+            axis=0,
+        )
+        # global-row validity: edge blocks clamp to themselves, so their
+        # halo rows carry garbage — mask to the boundary fill value
+        grow = (
+            b * bsz - halo
+            + jax.lax.broadcasted_iota(jnp.int32, (ext_rows, w), 0)
+        )
+        return jnp.where((grow >= 0) & (grow < total_rows), ext, fill)
+
+    g_ext = assemble(grid_prev_ref, grid_cur_ref, grid_next_ref, empty)
+    d_ext = assemble(dous_prev_ref, dous_cur_ref, dous_next_ref, 0)
+    age = age_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, w), 1)
+
+    fire_ext16 = (g_ext == fire).astype(jnp.bfloat16)
+    dous_ext16 = (d_ext > 0).astype(jnp.bfloat16)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, w), 1)
+
+    def box(x16, r):
+        # rows: rectangular banded matmul (exact bf16 counts, f32 accum)
+        rows_sum = jax.lax.dot_general(
+            bands_rows_ref[r - 1], x16, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # cols: inclusive cumsum via the shared triangular matmul, then
+        # box_r[:, j] = cum[:, j+r] - cum[:, j-r-1] with edge clamping
+        cum = jax.lax.dot_general(
+            rows_sum.astype(jnp.bfloat16), triu_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        total = jnp.sum(rows_sum, axis=1, keepdims=True)
+        right = jnp.where(
+            cols_b < w - r, pltpu.roll(cum, (-r) % w, 1), total
+        )
+        left = jnp.where(
+            cols_b >= r + 1, pltpu.roll(cum, r + 1, 1), 0.0
+        )
+        return right - left
+
+    heat = jnp.zeros((bsz, w), jnp.float32)
+    for r, c in enumerate(layer_coeffs, start=1):
+        heat = heat + c * box(fire_ext16, r)
+    dousing_ret = (
+        (dousing_inner - dousing_border) * box(dous_ext16, 1)
+        + dousing_border * box(dous_ext16, 2)
+    )
+    base = (heat - dousing_ret) * vdf_ref[0].astype(jnp.float32)
+
+    def shift_ext(dr: int, dc: int):
+        """Center-band view of g_ext displaced by (dr, dc); |dr| <= halo so
+        the sublane roll + ALIGNED center slice never wraps garbage in."""
+        out = g_ext
+        if dr != 0:
+            out = pltpu.roll(out, (-dr) % ext_rows, 0)
+        out = out[halo:halo + bsz]
+        if dc != 0:
+            out = pltpu.roll(out, (-dc) % w, 1)
+            v = (cols < w - 1) if dc == 1 else (cols >= 1)
+            out = jnp.where(v, out, empty)
+        return out
+
+    no_ignite = jnp.ones((bsz, w), jnp.float32)
+    for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+        fire_there = shift_ext(dr, dc) == fire
+        p = base * wind_ref[0, 0, d] * slope_ref[0, 1 + dr, 1 + dc].astype(
+            jnp.float32
+        )
+        no_ignite = no_ignite * jnp.maximum(
+            1.0 - jnp.where(fire_there, p, 0.0), 0.0
+        )
+    u = _uniform_01((bsz, w))
+    ignite = u < 1.0 - no_ignite
+
+    span = max(fire_age_max - fire_age_min, 1)
+    age_bits = pltpu.bitcast(pltpu.prng_random_bits((bsz, w)), jnp.uint32)
+    sampled_age = (
+        fire_age_min
+        + pltpu.bitcast(age_bits % jnp.uint32(span), jnp.int32)
+    ).astype(jnp.float32)
+
+    g = g_ext[halo:halo + bsz]
+    fire_mask = g == fire
+    tree_mask = g == tree
+    burnout = fire_mask & (age <= 1.0)
+    new_g = jnp.where(
+        tree_mask & ignite, fire, jnp.where(burnout, empty, g)
+    ).astype(jnp.int32)
+
+    new_fire = (new_g == fire) & jnp.logical_not(fire_mask)
+    new_age = jnp.where(new_fire, sampled_age, age)
+    new_age = jnp.where(fire_mask, new_age - 1.0, new_age)
+
+    out_grid_ref[0] = new_g.astype(out_grid_ref.dtype)
+    out_age_ref[0] = new_age
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "empty", "tree", "fire", "layer_coeffs", "dousing_border",
         "dousing_inner", "fire_age_min", "fire_age_max", "interpret",
+        "force_tiled", "tile_band_rows",
     ),
 )
 def alexandridis_fused_step(
@@ -228,8 +448,15 @@ def alexandridis_fused_step(
     fire_age_min: int,
     fire_age_max: int,
     interpret: bool = False,
+    force_tiled: bool = False,
+    tile_band_rows: int | None = None,  # testing: force a band height so
+    #                                     multi-band halo paths run on small grids
 ):
     """Batched fused Alexandridis update: returns (new_grid, new_fire_age).
+
+    Dispatches to the whole-lattice single-program kernel when it fits VMEM
+    (<= ~320^2) and to the row-band tiled kernel otherwise (512^2 class);
+    ``force_tiled`` pins the tiled path for differential testing.
 
     ``interpret=True`` runs under the TPU interpreter (CPU testing) where
     ``prng_random_bits`` is a zero stub: uniforms become 0 (so ignition
@@ -238,16 +465,95 @@ def alexandridis_fused_step(
     """
     n, h, w = grid.shape
     assert supports_fused_alexandridis(h, w, len(layer_coeffs)), (h, w)
+    n_bands = max(len(layer_coeffs), 2)
+    vm = pltpu.VMEM
+    inputs_common = (
+        grid.astype(jnp.int8),
+        fire_age.astype(jnp.float32),
+        dousing.astype(jnp.int8),
+        vdf.astype(jnp.bfloat16),
+        exp_slope.astype(jnp.bfloat16),
+    )
+    wind_in = wind_rows[:, None, :].astype(jnp.float32)
+    seed_in = seeds[:, None, :].astype(jnp.int32)
+
+    if force_tiled or not _fits_single_program(h, w, len(layer_coeffs)):
+        tiling = _tiled_band_rows(h, w, len(layer_coeffs))
+        assert tiling is not None, (h, w)
+        band, halo = tiling
+        if tile_band_rows is not None:
+            assert h % tile_band_rows == 0 and tile_band_rows >= halo
+            band = tile_band_rows
+        nb = h // band
+        kernel = functools.partial(
+            _alexandridis_tiled_kernel,
+            empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,
+            dousing_border=dousing_border, dousing_inner=dousing_inner,
+            fire_age_min=fire_age_min, fire_age_max=fire_age_max,
+            halo=halo, total_rows=h,
+        )
+        g_in, age_in, d_in, vdf_in, slope_in = inputs_common
+        local = lambda i, b: (i, b, 0)  # noqa: E731
+        prev = lambda i, b: (i, jnp.maximum(b - 1, 0), 0)  # noqa: E731
+        nxt = lambda i, b: (i, jnp.minimum(b + 1, nb - 1), 0)  # noqa: E731
+        row_block = lambda ix: pl.BlockSpec(  # noqa: E731
+            (1, band, w), ix, memory_space=vm
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n, nb),
+            in_specs=[
+                row_block(prev), row_block(local), row_block(nxt),  # grid
+                row_block(local),  # age
+                row_block(prev), row_block(local), row_block(nxt),  # dousing
+                row_block(local),  # vdf
+                pl.BlockSpec((1, 3, 3, band, w),
+                             lambda i, b: (i, 0, 0, b, 0), memory_space=vm),
+                pl.BlockSpec((n_bands, band, band + 2 * halo),
+                             lambda i, b: (0, 0, 0), memory_space=vm),
+                pl.BlockSpec((w, w), lambda i, b: (0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((1, 1, 8), lambda i, b: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 2), lambda i, b: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                row_block(local),
+                row_block(local),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, h, w), jnp.int8),
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=n * nb * len(layer_coeffs) * 2
+                * (band * (band + 2 * halo) * w + band * w * w),
+                bytes_accessed=n * h * w * 4 * 8,
+                transcendentals=0,
+            ),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            # same arrays bound to three BlockSpecs each: the prev/cur/next
+            # row-blocks ARE the halo fetch (no manual DMA)
+            g_in, g_in, g_in,
+            age_in,
+            d_in, d_in, d_in,
+            vdf_in, slope_in,
+            build_banded_ones_rect(band, halo, n_bands),
+            build_triu_ones(w),
+            wind_in,
+            seed_in,
+        )
+
     kernel = functools.partial(
         _alexandridis_kernel,
         empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,
         dousing_border=dousing_border, dousing_inner=dousing_inner,
         fire_age_min=fire_age_min, fire_age_max=fire_age_max,
     )
-    n_bands = max(len(layer_coeffs), 2)
     bands_h = build_banded_ones(h, n_bands)
     bands_w = bands_h if h == w else build_banded_ones(w, n_bands)
-    vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -285,13 +591,9 @@ def alexandridis_fused_step(
         # Compact streams match the Advanced env's state dtypes (int8 grid/
         # dousing, bf16 terrain factors), so these casts are free no-ops on
         # the env path and only pay for callers passing wider dtypes.
-        grid.astype(jnp.int8),
-        fire_age.astype(jnp.float32),
-        dousing.astype(jnp.int8),
-        vdf.astype(jnp.bfloat16),
-        exp_slope.astype(jnp.bfloat16),
+        *inputs_common,
         bands_h,
         bands_w,
-        wind_rows[:, None, :].astype(jnp.float32),
-        seeds[:, None, :].astype(jnp.int32),
+        wind_in,
+        seed_in,
     )

@@ -108,8 +108,15 @@ def main():
         )
         trainer = PPOTrainer(env, make_args(sm, stage_iters),
                              key=jax.random.key(a.seed))
-        if carry_state is not None:  # params/opt-state carry across stages
-            trainer.agent_state = carry_state
+        if carry_state is not None:
+            # PARAMS carry across stages; the optimizer state does NOT — a
+            # carried adam step count would push the per-stage linear LR
+            # anneal negative (frac = 1 - count/stage_iters < 0) and blow
+            # up training.  Fresh moments per stage is standard curriculum
+            # practice anyway.
+            trainer.agent_state = trainer.agent_state.replace(
+                params=carry_state.params
+            )
             trainer.key = carry_key
         if len(stages) > 1:
             print(f"[stage {stage_i + 1}/{len(stages)}] sm={sm} "

@@ -25,10 +25,11 @@ import numpy as np
 
 from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
 
-SIZE = 256
-N_ENVS = 64
-STEPS = 500
-CHECKPOINTS = (100, 200, 300, 400, 500)
+# overridable: validate_fused_ca_tpu.py [SIZE] [N_ENVS] [STEPS]
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+N_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+CHECKPOINTS = tuple(t for t in (100, 200, 300, 400, 500) if t <= STEPS)
 
 
 def rollout_fire_stats(use_pallas: bool):

@@ -104,15 +104,57 @@ def test_env_pallas_flag_gating():
 
 
 def test_vmem_budget_gate():
-    """512^2 exceeds the fused kernel's VMEM working set -> env must warn
-    and fall back to the XLA CA path (ADVICE r1 / VERDICT r1 weak #2)."""
-    from gymca_tpu.envs.advanced import AdvancedForestFireBulldozerEnv
-    from gymca_tpu.ops.pallas_alexandridis import supports_fused_alexandridis
+    """Single-program kernel tops out ~320^2; the ROW-BAND TILED kernel
+    (r4) extends coverage through 512^2 and 1024^2.  The remaining ceiling
+    is the (W, W) triangular cumsum matrix: 2048^2 still falls back to the
+    XLA path."""
+    from gymca_tpu.ops.pallas_alexandridis import (
+        _fits_single_program,
+        _radius_for,
+        _tiled_band_rows,
+        supports_fused_alexandridis,
+    )
 
     assert supports_fused_alexandridis(256, 256)
-    assert not supports_fused_alexandridis(512, 512)
-    with pytest.warns(UserWarning, match="VMEM"):
-        env = AdvancedForestFireBulldozerEnv(
-            512, 512, key=jax.random.key(0), num_envs=1, use_pallas_ca=True
-        )
-    assert not env.use_pallas_ca
+    assert _fits_single_program(256, 256, _radius_for(256))
+    # 512^2 / 1024^2: single-program does NOT fit, tiling does
+    for n in (512, 1024):
+        r = _radius_for(n)
+        assert not _fits_single_program(n, n, r), n
+        assert _tiled_band_rows(n, n, r) is not None, n
+        assert supports_fused_alexandridis(n, n), n
+    assert not supports_fused_alexandridis(2048, 2048)
+    assert not supports_fused_alexandridis(256, 200)  # width not tileable
+
+
+def test_tiled_matches_single_program_across_band_halos():
+    """The row-band tiled kernel must reproduce the single-program kernel
+    EXACTLY under the deterministic interpreter (PRNG stub = 0), including
+    fire spreading across band boundaries through the assembled halos.
+    tile_band_rows=8 forces 4 bands on a 32-row grid; fires sit ON the
+    band seams (rows 7/8, 15/16, 23/24) and at global edges."""
+    N, H, W = 2, 32, 128
+    key = jax.random.key(3)
+    grid = jax.random.choice(
+        key, jnp.asarray([EMPTY, TREE, TREE, FIRE]), (N, H, W)
+    ).astype(jnp.int32)
+    for r, c in [(7, 64), (8, 70), (15, 5), (16, 9), (23, 100), (24, 101),
+                 (0, 0), (31, 127)]:
+        grid = grid.at[0, r, c].set(FIRE)
+    age = jnp.where(grid == FIRE, 50.0, 0.0)
+    dousing = (
+        jax.random.uniform(jax.random.fold_in(key, 1), (N, H, W)) < 0.1
+    ).astype(jnp.int32)
+    args = (
+        grid, age, dousing,
+        jnp.full((N, H, W), 2.0),
+        jnp.ones((N, 3, 3, H, W)),
+        jnp.full((N, 8), 100.0),
+        jnp.asarray([[3, 17], [5, 23]], jnp.int32),
+    )
+    g1, a1 = alexandridis_fused_step(*args, **KW)
+    g2, a2 = alexandridis_fused_step(
+        *args, force_tiled=True, tile_band_rows=8, **KW
+    )
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
