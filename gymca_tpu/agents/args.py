@@ -84,6 +84,11 @@ class ExperimentArgs:
     # black pixel in the RGB obs; at >=128^2 the torso plausibly cannot
     # localize it.  Off by default (reference-parity model).
     position_features: bool = False
+    # Also feed the agent->fire-centroid offset (+ fire-present flag),
+    # computed from the TRUE grid.  This is a state feature, not a pixel
+    # feature — used to isolate whether a learning failure is perception
+    # (CNN can't localize small fires in blurred day obs) vs control.
+    centroid_features: bool = False
     checkpoint_every: int = 200
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None

@@ -155,6 +155,10 @@ class PPOTrainer:
         self.critic = Critic()
 
         self.position_features = bool(args.exp.position_features)
+        self.centroid_features = bool(
+            getattr(args.exp, "centroid_features", False)
+        )
+        self._use_features = self.position_features or self.centroid_features
         self._shaping = (
             args.ppo.shape_tree_coef != 0.0 or args.ppo.shape_dist_coef != 0.0
         )
@@ -163,9 +167,9 @@ class PPOTrainer:
         grid_sample = obs[0][:1]
         network_params = self.network.init(net_key, grid_sample)
         hidden = self.network.apply(network_params, grid_sample)
-        if self.position_features:
+        if self._use_features:
             hidden = jnp.concatenate(
-                [hidden, self._position_feats(obs[1]["position"][:1])], axis=-1
+                [hidden, self._policy_features(obs[1])[:1]], axis=-1
             )
         actor_params = self.actor.init(actor_key, hidden)
         critic_params = self.critic.init(critic_key, hidden)
@@ -210,25 +214,60 @@ class PPOTrainer:
 
     # ----------------------------------------------------------- policy fns
 
-    def _position_feats(self, position):
-        scale = jnp.asarray([self.env.nrows, self.env.ncols], jnp.float32)
-        return position.astype(jnp.float32) / scale
+    def _policy_features(self, context):
+        """Auxiliary policy/value input features, already normalized:
 
-    def _torso(self, params, grid, position):
-        """CNN hidden, optionally augmented with normalized agent position
-        (args.exp.position_features — the agent is one pixel in the RGB obs
-        and the torso can lose it at large grids)."""
-        hidden = self.network.apply(params["network_params"], grid)
+        * ``position_features`` — agent (row/H, col/W);
+        * ``centroid_features`` — agent->fire-centroid offset + a
+          fire-present flag, from the TRUE grid (a state feature used to
+          isolate perception failures; see args.py).
+
+        Returns (N, F) f32, or None when no feature flag is on.
+        """
+        if not self._use_features:
+            return None
+        scale = jnp.asarray([self.env.nrows, self.env.ncols], jnp.float32)
+        pos = context["position"].astype(jnp.float32)
+        feats = []
         if self.position_features:
-            hidden = jnp.concatenate(
-                [hidden, self._position_feats(position)], axis=-1
+            feats.append(pos / scale)
+        if self.centroid_features:
+            tg = context["per_env_context"]["true_grid"]
+            fire = (tg == self.env._fire).astype(jnp.float32)
+            h, w = tg.shape[-2], tg.shape[-1]
+            tot = fire.sum((-2, -1))
+            denom = jnp.maximum(tot, 1.0)
+            rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+            cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+            cr = (fire * rows).sum((-2, -1)) / denom
+            cc = (fire * cols).sum((-2, -1)) / denom
+            has_fire = (tot > 0).astype(jnp.float32)
+            feats.append(
+                jnp.stack(
+                    [
+                        has_fire * (cr - pos[:, 0]) / h,
+                        has_fire * (cc - pos[:, 1]) / w,
+                        has_fire,
+                    ],
+                    axis=-1,
+                )
             )
+        return jnp.concatenate(feats, axis=-1)
+
+    def _torso(self, params, grid, feats):
+        """CNN hidden, optionally augmented with the pre-computed policy
+        features from :meth:`_policy_features`."""
+        hidden = self.network.apply(params["network_params"], grid)
+        if self._use_features:
+            hidden = jnp.concatenate([hidden, feats], axis=-1)
         return hidden
 
     def get_action_and_value(self, agent_state, obs, key):
         """Sample per-head actions via the Gumbel trick (jax_ppo.py:866-899)."""
         grid_obs, context = obs
-        hidden = self._torso(agent_state.params, grid_obs, context["position"])
+        hidden = self._torso(
+            agent_state.params, grid_obs, self._policy_features(context)
+        )
         logits_set = self.actor.apply(agent_state.params["actor_params"], hidden)
 
         actions, logprobs = [], []
@@ -376,7 +415,13 @@ class PPOTrainer:
             train_reward = reward + self.args.ppo.gamma * phi_sp - phi_s
         storage = Storage(
             grid_obs=obs[0],
-            position_obs=obs[1]["position"],
+            # with feature flags on, the minibatch update consumes the
+            # PRE-COMPUTED feature vector (centroid features need the full
+            # context, which storage does not carry)
+            position_obs=(
+                self._policy_features(obs[1])
+                if self._use_features else obs[1]["position"]
+            ),
             actions=action,
             logprobs=logprob,
             dones=done,
@@ -393,7 +438,7 @@ class PPOTrainer:
         next_value = self.critic.apply(
             agent_state.params["critic_params"],
             self._torso(agent_state.params, next_obs[0],
-                        next_obs[1]["position"]),
+                        self._policy_features(next_obs[1])),
         ).squeeze(-1)
 
         num_envs = storage.rewards.shape[1]
@@ -574,7 +619,9 @@ class PPOTrainer:
 
         if not hasattr(self, "_jit_video_step"):
             def video_step(params, obs, info):
-                hidden = self._torso(params, obs[0], obs[1]["position"])
+                hidden = self._torso(
+                    params, obs[0], self._policy_features(obs[1])
+                )
                 logits_set = self.actor.apply(params["actor_params"], hidden)
                 action = jnp.stack(
                     [jnp.argmax(l, axis=-1) for l in logits_set], axis=1
@@ -689,15 +736,17 @@ def load_actor(params_path: str, env, args: Optional[Args] = None):
     actor = trainer.actor
 
     @jax.jit
-    def get_action(obs_grid, position=None):
-        """Greedy action.  ``position`` is required iff the checkpoint was
-        trained with ``position_features``."""
-        if trainer.position_features and position is None:
+    def get_action(obs_grid, context=None):
+        """Greedy action.  ``context`` (the obs[1] pytree) is required iff
+        the checkpoint was trained with position/centroid features."""
+        if trainer._use_features and context is None:
             raise ValueError(
-                "this checkpoint was trained with position_features=True; "
-                "pass obs[1]['position'] as the second argument"
+                "this checkpoint was trained with policy features "
+                "(position/centroid); pass obs[1] as the second argument"
             )
-        hidden = trainer._torso(agent_state.params, obs_grid, position)
+        feats = trainer._policy_features(context) if context is not None \
+            else None
+        hidden = trainer._torso(agent_state.params, obs_grid, feats)
         logits_set = actor.apply(agent_state.params["actor_params"], hidden)
         return jnp.stack(
             [jnp.argmax(l, axis=-1) for l in logits_set], axis=1

@@ -47,10 +47,16 @@ def main():
                          "dist(agent, fire centroid)/diag")
     ap.add_argument("--position-features", action="store_true",
                     help="feed normalized agent position to actor/critic")
+    ap.add_argument("--centroid-features", action="store_true",
+                    help="also feed the agent->fire-centroid offset (a STATE "
+                         "feature; isolates perception vs control failures)")
     ap.add_argument("--sm-schedule", type=str, default=None,
                     help="speed-multiplier curriculum, e.g. '6:0.4,3:0.3,1:0.3'"
                          " = sm 6 for 40%% of iters, then 3, then 1; params "
                          "carry across stages (overrides --speed-multiplier)")
+    ap.add_argument("--save-params", type=str, default=None,
+                    help="pickle the final params (+ run config) here for "
+                         "scripts/eval_policy.py")
     a = ap.parse_args()
 
     import jax
@@ -94,6 +100,7 @@ def main():
                 total_timesteps=iters * a.num_envs * 128,
                 num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
                 position_features=a.position_features,
+                centroid_features=a.centroid_features,
             ),
         )
 
@@ -137,6 +144,28 @@ def main():
         trainer.train(num_iterations=stage_iters, log_fn=log_fn)
         carry_state, carry_key = trainer.agent_state, trainer.key
     wall = time.time() - t0
+
+    if a.save_params:
+        import pickle
+
+        import jax as _jax
+
+        Path(a.save_params).parent.mkdir(parents=True, exist_ok=True)
+        with open(a.save_params, "wb") as f:
+            pickle.dump(
+                {
+                    "params": _jax.device_get(carry_state.params),
+                    "size": a.size,
+                    "num_envs": a.num_envs,
+                    "seed": a.seed,
+                    "ca_repeat_mode": a.ca_repeat_mode,
+                    "position_features": a.position_features,
+                    "centroid_features": a.centroid_features,
+                    "bf16": a.bf16,
+                },
+                f,
+            )
+        print(f"saved params -> {a.save_params}")
 
     out_dir = Path(a.out)
     out_dir.mkdir(parents=True, exist_ok=True)
