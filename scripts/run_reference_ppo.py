@@ -138,6 +138,24 @@ def main():
 
     scalars = defaultdict(list)
     RealWriter = jp.SummaryWriter
+    partial_path = out_path + ".partial"
+    counter = {"n": 0}
+
+    def dump(final=False):
+        blob = {
+            "framework": "reference",
+            "env": "AdvancedForestFireBulldozer",
+            "size": cli.size,
+            "num_envs": cli.num_envs,
+            "total_timesteps": cli.total_timesteps,
+            "seed": cli.seed,
+            "enable_extensions": cli.enable_extensions,
+            "partial": not final,
+            "scalars": {k: v for k, v in scalars.items()},
+        }
+        with open(partial_path, "w") as f:
+            json.dump(blob, f)
+        return blob
 
     class RecordingWriter(RealWriter):
         def add_scalar(self, tag, value, step=None, *a, **k):
@@ -145,6 +163,11 @@ def main():
                 scalars[tag].append([int(step), float(value)])
             except (TypeError, ValueError):
                 pass
+            # periodic crash/stall-proof dump (the tunneled chip has been
+            # observed to hang multi-hour runs mid-flight)
+            counter["n"] += 1
+            if counter["n"] % 500 == 0:
+                dump()
             return super().add_scalar(tag, value, step, *a, **k)
 
     jp.SummaryWriter = RecordingWriter
@@ -190,18 +213,9 @@ def main():
     jp.run_rollout_loop(env, args, key)
     elapsed = time.time() - t0
 
-    result = {
-        "framework": "reference",
-        "env": "AdvancedForestFireBulldozer",
-        "size": cli.size,
-        "num_envs": cli.num_envs,
-        "total_timesteps": cli.total_timesteps,
-        "seed": cli.seed,
-        "enable_extensions": cli.enable_extensions,
-        "elapsed_s": elapsed,
-        "sps": cli.total_timesteps / elapsed,
-        "scalars": {k: v for k, v in scalars.items()},
-    }
+    result = dump(final=True)
+    result["elapsed_s"] = elapsed
+    result["sps"] = cli.total_timesteps / elapsed
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(result, f)
