@@ -31,6 +31,13 @@ def test_two_process_cpu_cluster():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
     env = dict(os.environ)
+    # the worker is executed by script path, so only tests/ lands on its
+    # sys.path — make the repo root importable regardless of how (or from
+    # where) the parent pytest was launched
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     env.pop("JAX_PLATFORM_NAME", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
