@@ -607,6 +607,122 @@ class PPOTrainer:
         metrics["mean_reward"] = storage.rewards.mean()
         return agent_state, stats, next_obs, next_done, next_info, key, metrics
 
+    # ------------------------------------------------------------ BC warm-start
+
+    def _greedy_demo_action(self, context):
+        """The greedy-fire hand policy as a demonstrator: step toward the
+        live-fire centroid, always shoot, extension heads 0.  This is the
+        same policy as the ceiling probe (scripts/exp_policy_ceiling.py)
+        that fully extinguishes 256² fires under modf semantics."""
+        tg = context["per_env_context"]["true_grid"]
+        fire = (tg == self.env._fire).astype(jnp.float32)
+        h, w = tg.shape[-2], tg.shape[-1]
+        tot = jnp.maximum(fire.sum((-2, -1)), 1.0)
+        rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        cr = (fire * rows).sum((-2, -1)) / tot
+        cc = (fire * cols).sum((-2, -1)) / tot
+        pos = context["position"].astype(jnp.float32)
+        dr = jnp.sign(cr - pos[:, 0]).astype(jnp.int32)
+        dc = jnp.sign(cc - pos[:, 1]).astype(jnp.int32)
+        move = (dr + 1) * 3 + (dc + 1)
+        shoot = jnp.ones_like(move)
+        heads = [move, shoot] + [
+            jnp.zeros_like(move) for _ in range(self.n_action_heads - 2)
+        ]
+        return jnp.stack(heads, axis=1).astype(jnp.int32)
+
+    def bc_pretrain(self, num_iterations: int, learning_rate: float = 2.5e-4,
+                    log_fn: Optional[Callable[[int, dict], None]] = None):
+        """Behavior-clone the torso+actor onto the greedy-fire demonstrator
+        before PPO ("kickstarting").  Under modf semantics the useful
+        behavior (walk hundreds of cells to the fire, then douse along the
+        front) is too many on-policy steps from a random init for PPO to
+        find; cloning the hand policy that provably extinguishes fires
+        (docs/learning_at_scale.md §2) places the init inside the basin.
+
+        Cross-entropy on the move/shoot heads only; the critic params and
+        the PPO optimizer state are untouched (PPO then starts with fresh
+        Adam moments on the cloned params).  Each iteration rolls the
+        DEMONSTRATOR through the live env (num_ppo_steps × num_envs
+        samples) and takes one epoch of minibatch gradient steps."""
+        env = self.env
+        tx = optax.adam(learning_rate)
+        nmb = self.args.ppo.num_minibatches
+
+        def bc_loss(params, grids, feats, actions):
+            hidden = self._torso(params, grids, feats)
+            logits_set = self.actor.apply(params["actor_params"], hidden)
+            ce = 0.0
+            match = 0.0
+            for i, logit in enumerate(logits_set[:2]):
+                logp = jax.nn.log_softmax(logit)
+                idx = jnp.arange(actions.shape[0])
+                ce = ce - logp[idx, actions[:, i]].mean()
+                match = match + (
+                    jnp.argmax(logit, axis=-1) == actions[:, i]
+                ).mean()
+            return ce, match / 2.0
+
+        def bc_iteration(params, opt_state, obs, info, key):
+            def step(carry, _):
+                obs, info = carry
+                action = self._greedy_demo_action(obs[1])
+                step_tuple = env.stateless_step(action, obs, info)
+                next_obs, _, _, _, next_info = env.conditional_reset(
+                    step_tuple, action
+                )
+                feats = (
+                    self._policy_features(obs[1])
+                    if self._use_features else obs[1]["position"]
+                )
+                return (next_obs, next_info), (obs[0], feats, action)
+
+            (obs, info), (grids, feats, actions) = jax.lax.scan(
+                step, (obs, info), (),
+                length=self.args.exp.num_ppo_steps,
+            )
+
+            def mbs(x):
+                flat = x.reshape((-1,) + x.shape[2:])
+                return flat.reshape((nmb, flat.shape[0] // nmb) + flat.shape[1:])
+
+            def update_mb(carry, mb):
+                params, opt_state = carry
+                (loss, match), grads = jax.value_and_grad(
+                    bc_loss, has_aux=True
+                )(params, *mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, match)
+
+            (params, opt_state), (losses, matches) = jax.lax.scan(
+                update_mb, (params, opt_state),
+                (mbs(grids), mbs(feats), mbs(actions)),
+            )
+            return params, opt_state, obs, info, key, (
+                losses.mean(), matches.mean()
+            )
+
+        bc_iteration = jax.jit(bc_iteration)
+
+        obs, info = env.reset()
+        params = self.agent_state.params
+        opt_state = tx.init(params)
+        key = self.key
+        host0 = jax.process_index() == 0
+        last = {}
+        for it in range(1, num_iterations + 1):
+            params, opt_state, obs, info, key, (loss, match) = bc_iteration(
+                params, opt_state, obs, info, key
+            )
+            last = {"bc_loss": float(loss), "bc_match": float(match)}
+            if log_fn is not None and host0:
+                log_fn(it, last)
+        self.agent_state = self.agent_state.replace(params=params)
+        self.key = key
+        return last
+
     # --------------------------------------------------------------------- train
 
     def render_rollout(self, agent_state, num_steps: int = 64, env_idx: int = 0,

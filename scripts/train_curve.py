@@ -54,6 +54,10 @@ def main():
                     help="speed-multiplier curriculum, e.g. '6:0.4,3:0.3,1:0.3'"
                          " = sm 6 for 40%% of iters, then 3, then 1; params "
                          "carry across stages (overrides --speed-multiplier)")
+    ap.add_argument("--bc-iters", type=int, default=0,
+                    help="behavior-cloning warm-start iterations from the "
+                         "greedy-fire demonstrator before PPO (kickstart "
+                         "for long modf horizons)")
     ap.add_argument("--save-params", type=str, default=None,
                     help="pickle the final params (+ run config) here for "
                          "scripts/eval_policy.py")
@@ -128,6 +132,13 @@ def main():
         if len(stages) > 1:
             print(f"[stage {stage_i + 1}/{len(stages)}] sm={sm} "
                   f"iters={stage_iters}", flush=True)
+        if stage_i == 0 and a.bc_iters:
+            def bc_log(it, m):
+                if it % 10 == 0 or it == 1:
+                    print(f"[bc] iter {it}/{a.bc_iters}: "
+                          f"loss={m['bc_loss']:.4f} "
+                          f"match={m['bc_match']:.3f}", flush=True)
+            trainer.bc_pretrain(a.bc_iters, log_fn=bc_log)
 
         def log_fn(iteration, metrics, _sm=sm):
             metrics = dict(metrics)
