@@ -46,6 +46,12 @@ class EnvArgs:
     speed_multiplier: float = 1.0
     use_hidden: bool = True
     enable_extensions: bool = False
+    # CA time semantics: "single" = reference-JAX parity (one CA application
+    # per agent step, repeat_ca_jax.py:61-69); "modf" = the classic
+    # time-gated semantics (repeat_ca.py:40-43) under which the agent/fire
+    # speed ratio is physical and large grids are controllable
+    # (docs/learning_at_scale.md §2-3).
+    ca_repeat_mode: str = "single"
 
 
 @dataclass
@@ -89,6 +95,9 @@ class ExperimentArgs:
     # feature — used to isolate whether a learning failure is perception
     # (CNN can't localize small fires in blurred day obs) vs control.
     centroid_features: bool = False
+    # Behavior-cloning warm-start iterations from the greedy-fire
+    # demonstrator before PPO (PPOTrainer.bc_pretrain); 0 = off.
+    bc_iters: int = 0
     checkpoint_every: int = 200
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None

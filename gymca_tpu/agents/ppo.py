@@ -815,6 +815,8 @@ def run_rollout_loop(env, args: Args, key=None, log_fn=None, video_every=0,
                      video_fn=None):
     """Train PPO on ``env`` (counterpart of reference jax_ppo.py:419-1530)."""
     trainer = PPOTrainer(env, args, key)
+    if getattr(args.exp, "bc_iters", 0):
+        trainer.bc_pretrain(args.exp.bc_iters)
     ckpt = None
     if args.exp.checkpoint_dir:
         from gymca_tpu.agents.checkpoint import CheckpointManager
