@@ -26,20 +26,27 @@ def smooth(y, k):
     return np.convolve(y, np.ones(k) / k, mode="valid")
 
 
-def main():
-    ref = json.loads((ASSETS / "ref_curve_adv64.json").read_text())
-    ours = json.loads((ASSETS / "ppo_curve_adv64_h2h.json").read_text())
-
-    # reference: TB scalar charts/avg_episodic_return is (step, value) pairs
-    r = np.asarray(ref["scalars"]["charts/avg_episodic_return"], np.float64)
-    r_steps, r_vals = r[:, 0], r[:, 1]
-    rv = r_vals != 0.0
-
+def load_ours(path):
+    ours = json.loads(path.read_text())
     o_steps = np.asarray([m["global_step"] for m in ours["history"]])
     o_vals = np.asarray(
         [m.get("episodic_return", np.nan) for m in ours["history"]]
     )
     ov = (o_vals != 0.0) & ~np.isnan(o_vals)
+    return ours, o_steps, o_vals, ov
+
+
+def main():
+    ref = json.loads((ASSETS / "ref_curve_adv64.json").read_text())
+    ours, o_steps, o_vals, ov = load_ours(ASSETS / "ppo_curve_adv64_h2h.json")
+    # optional seed replicates (ppo_curve_adv64_h2h_s<k>.json) -> seed band
+    seed_runs = sorted(ASSETS.glob("ppo_curve_adv64_h2h_s*.json"))
+    seed_curves = [load_ours(p) for p in seed_runs]
+
+    # reference: TB scalar charts/avg_episodic_return is (step, value) pairs
+    r = np.asarray(ref["scalars"]["charts/avg_episodic_return"], np.float64)
+    r_steps, r_vals = r[:, 0], r[:, 1]
+    rv = r_vals != 0.0
 
     fig, ax = plt.subplots(figsize=(8, 4.5))
     k = 25
@@ -51,6 +58,10 @@ def main():
     o_sps = o_steps[-1] / ours["wall_seconds"]
     ax.plot(o_steps[ov][k - 1:], smooth(o_vals[ov], k), lw=2,
             color="tab:blue", label=f"gymca_tpu ({o_sps:.0f} SPS)")
+    for i, (_, s_steps, s_vals, sv) in enumerate(seed_curves):
+        ax.plot(s_steps[sv][k - 1:], smooth(s_vals[sv], k), lw=1.2,
+                color="tab:blue", alpha=0.5,
+                label="gymca_tpu (other seeds)" if i == 0 else None)
     ax.set_xlabel("env steps")
     ax.set_ylabel("mean episodic return")
     ax.set_title(
@@ -83,6 +94,11 @@ def main():
         },
     }
     summary["sps_ratio"] = summary["gymca_tpu"]["sps"] / summary["reference"]["sps"]
+    if seed_curves:
+        summary["gymca_tpu"]["late_return_by_seed"] = [
+            tail_mean(s[m], v[m], 0.2)
+            for (_, s, v, m) in seed_curves
+        ] + [summary["gymca_tpu"]["late_return"]]
     (ASSETS / "h2h_adv64.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
 
