@@ -93,7 +93,9 @@ def main():
     real_build = env.build_observation_on_extensions
 
     def zero_build(grid, position, full_action, per_env, shared):
-        rgb = jnp.zeros(grid.shape + (3,), jnp.float32)
+        # match the env's real obs dtypes (uint8 RGB since QUIRKS #13) so
+        # the scan carry types line up with the reset() obs
+        rgb = jnp.zeros(grid.shape + (3,), env._obs_dtype)
         ext = jnp.zeros(grid.shape + (3 + 2,), jnp.float32)
         return rgb, ext
 

@@ -93,6 +93,18 @@ def main():
             "late_return": tail_mean(o_steps[ov], o_vals[ov]),
         },
     }
+    # episodic return conflates policy quality with episode LENGTH (longer
+    # survival = more negative sum); record the per-step reward too
+    rps = np.asarray(
+        [v for _, v in ref["scalars"]["charts/avg_return_per_timestep"]
+         if v != 0.0]
+    )
+    summary["reference"]["late_reward_per_step"] = tail_mean(None, rps)
+    ops = np.asarray(
+        [m.get("mean_reward", np.nan) for m in ours["history"]]
+    )
+    opsv = ops[~np.isnan(ops) & (ops != 0.0)]
+    summary["gymca_tpu"]["late_reward_per_step"] = tail_mean(None, opsv)
     summary["sps_ratio"] = summary["gymca_tpu"]["sps"] / summary["reference"]["sps"]
     if seed_curves:
         summary["gymca_tpu"]["late_return_by_seed"] = [
