@@ -33,6 +33,13 @@ class PPOArgs:
     #   dist(agent, fire centroid)/diag  (dense signal for approach).
     shape_tree_coef: float = 0.0
     shape_dist_coef: float = 0.0
+    # shape_douse_coef: phi += coef * |{doused cells with live fire inside
+    #   their 5x5 suppression box}| / 100 — the dousing-side signal that the
+    #   dist term alone lacks (dist shaping creates an "approach valley":
+    #   policies learn to chase the fire centroid but score below random
+    #   until they also douse; docs/learning_at_scale.md §5).  Still
+    #   potential-based (a pure function of state), hence policy-invariant.
+    shape_douse_coef: float = 0.0
 
 
 @dataclass

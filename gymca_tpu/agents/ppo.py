@@ -160,7 +160,9 @@ class PPOTrainer:
         )
         self._use_features = self.position_features or self.centroid_features
         self._shaping = (
-            args.ppo.shape_tree_coef != 0.0 or args.ppo.shape_dist_coef != 0.0
+            args.ppo.shape_tree_coef != 0.0
+            or args.ppo.shape_dist_coef != 0.0
+            or args.ppo.shape_douse_coef != 0.0
         )
 
         obs, _ = env.reset()
@@ -390,6 +392,21 @@ class PPOTrainer:
                 (cr - pos[:, 0]) ** 2 + (cc - pos[:, 1]) ** 2
             ) / math.sqrt(h * h + w * w)
             phi = phi - dist_c * jnp.where(tot > 0, dist, 0.0)
+        douse_c = self.args.ppo.shape_douse_coef
+        if douse_c != 0.0:
+            # doused cells whose 5x5 suppression box (the dousing kernel's
+            # reach, ops/alexandridis.py) contains live fire = dousing that
+            # is DOING something.  Dilate fire by Chebyshev radius 2 and
+            # intersect with the dousing mask.
+            fire = (tg == self.env._fire).astype(jnp.float32)
+            near_fire = jax.lax.reduce_window(
+                fire, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 5, 5), window_strides=(1, 1, 1),
+                padding="SAME",
+            )
+            doused = (pe["dousing_count"] > 0).astype(jnp.float32)
+            useful = (doused * (near_fire > 0)).sum((-2, -1))
+            phi = phi + douse_c * useful / 100.0
         return phi
 
     def _step_once(self, carry, _):

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--shape-dist-coef", type=float, default=0.0,
                     help="potential-based shaping: phi -= c * "
                          "dist(agent, fire centroid)/diag")
+    ap.add_argument("--shape-douse-coef", type=float, default=0.0,
+                    help="potential-based shaping: phi += c * "
+                         "|doused cells with fire in their 5x5 box|/100")
     ap.add_argument("--position-features", action="store_true",
                     help="feed normalized agent position to actor/critic")
     ap.add_argument("--centroid-features", action="store_true",
@@ -81,6 +84,7 @@ def main():
         ppo_kwargs["gae_lambda"] = a.gae_lambda
     ppo_kwargs["shape_tree_coef"] = a.shape_tree_coef
     ppo_kwargs["shape_dist_coef"] = a.shape_dist_coef
+    ppo_kwargs["shape_douse_coef"] = a.shape_douse_coef
 
     # curriculum stages: [(speed_multiplier, num_iters)]
     if a.sm_schedule:
