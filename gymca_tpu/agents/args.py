@@ -40,6 +40,16 @@ class PPOArgs:
     #   until they also douse; docs/learning_at_scale.md §5).  Still
     #   potential-based (a pure function of state), hence policy-invariant.
     shape_douse_coef: float = 0.0
+    # --- kickstarting (Schmitt et al. 2018 style).  After a BC warm-start
+    # (ExperimentArgs.bc_iters), naive PPO destroys the clone: the fresh
+    # critic's advantages are noise and the entropy bonus pulls the heads
+    # back to uniform (measured: eval -694 BC-only -> -1727 BC+PPO,
+    # docs/learning_at_scale.md §5).  kickstart_coef adds an auxiliary
+    # cross-entropy toward the greedy-fire demonstrator on the move/shoot
+    # heads, annealed linearly to 0 over kickstart_decay_iters PPO
+    # iterations (0 = decay across the whole run).  0.0 = off.
+    kickstart_coef: float = 0.0
+    kickstart_decay_iters: int = 0
 
 
 @dataclass
@@ -105,6 +115,12 @@ class ExperimentArgs:
     # Behavior-cloning warm-start iterations from the greedy-fire
     # demonstrator before PPO (PPOTrainer.bc_pretrain); 0 = off.
     bc_iters: int = 0
+    # PPO iterations at the start of training during which ONLY the critic
+    # head receives gradients (network torso + actor frozen).  Pairs with
+    # bc_iters: the cloned policy collects on-policy rollouts while the
+    # critic learns its value function, so PPO's first real advantages are
+    # signal rather than fresh-critic noise.  0 = off.
+    critic_warmup_iters: int = 0
     checkpoint_every: int = 200
     checkpoint_dir: Optional[str] = None
     log_dir: Optional[str] = None

@@ -54,6 +54,9 @@ class Storage:
     advantages: jnp.ndarray
     returns: jnp.ndarray
     rewards: jnp.ndarray
+    # demonstrator actions for the kickstart CE term (zeros when
+    # kickstart_coef == 0; same (N, heads) shape as ``actions``)
+    demo_actions: jnp.ndarray
 
 
 @flax.struct.dataclass
@@ -164,6 +167,7 @@ class PPOTrainer:
             or args.ppo.shape_dist_coef != 0.0
             or args.ppo.shape_douse_coef != 0.0
         )
+        self._kickstart = args.ppo.kickstart_coef != 0.0
 
         obs, _ = env.reset()
         grid_sample = obs[0][:1]
@@ -212,7 +216,9 @@ class PPOTrainer:
             "critic": sum(x.size for x in jax.tree.leaves(critic_params)),
         }
 
-        self.train_iteration = jax.jit(self._train_iteration)
+        self.train_iteration = jax.jit(
+            self._train_iteration, static_argnames=("critic_only",)
+        )
 
     # ----------------------------------------------------------- policy fns
 
@@ -287,16 +293,26 @@ class PPOTrainer:
         value = self.critic.apply(agent_state.params["critic_params"], hidden)
         return actions, logprobs, value.squeeze(-1), key
 
-    def get_action_and_value2(self, params, x, action):
-        """Logprob/entropy/value of given actions (jax_ppo.py:901-930)."""
+    def get_action_and_value2(self, params, x, action, demo_action=None):
+        """Logprob/entropy/value of given actions (jax_ppo.py:901-930).
+
+        When ``demo_action`` is given, additionally returns the summed
+        log-probability of the demonstrator's move/shoot actions (the
+        kickstart CE term reuses the per-head log_softmax already computed)."""
         grid, position = x
         hidden = self._torso(params, grid, position)
         logits_set = self.actor.apply(params["actor_params"], hidden)
 
         logprobs, entropies = [], []
+        demo_logp = 0.0
         for i, logit in enumerate(logits_set):
             act = action[:, i]
-            logprob = jax.nn.log_softmax(logit)[jnp.arange(act.shape[0]), act]
+            lsm = jax.nn.log_softmax(logit)
+            logprob = lsm[jnp.arange(act.shape[0]), act]
+            if demo_action is not None and i < 2:
+                demo_logp = demo_logp + lsm[
+                    jnp.arange(act.shape[0]), demo_action[:, i]
+                ]
             logits = logit - jax.scipy.special.logsumexp(logit, axis=-1,
                                                          keepdims=True)
             logits = logits.clip(min=jnp.finfo(logits.dtype).min)
@@ -306,6 +322,8 @@ class PPOTrainer:
         logprobs = jnp.stack(logprobs, axis=1)
         entropies = jnp.stack(entropies, axis=1)
         value = self.critic.apply(params["critic_params"], hidden).squeeze(-1)
+        if demo_action is not None:
+            return logprobs, entropies, value, demo_logp
         return logprobs, entropies, value
 
     # -------------------------------------------------------------- episode stats
@@ -446,6 +464,10 @@ class PPOTrainer:
             rewards=train_reward,
             returns=jnp.zeros_like(reward),
             advantages=jnp.zeros_like(reward),
+            demo_actions=(
+                self._greedy_demo_action(obs[1])
+                if self._kickstart else jnp.zeros_like(action)
+            ),
         )
         return (agent_state, stats, next_obs, next_done, next_info, key), storage
 
@@ -485,9 +507,17 @@ class PPOTrainer:
 
     # ------------------------------------------------------------------- update
 
-    def _ppo_loss(self, params, x, a, logp, mb_advantages, mb_returns, mb_values):
+    def _ppo_loss(self, params, x, a, logp, mb_advantages, mb_returns, mb_values,
+                  demo_a=None, ks_coef=0.0):
         args = self.args
-        newlogprob, entropy, newvalue = self.get_action_and_value2(params, x, a)
+        if self._kickstart:
+            newlogprob, entropy, newvalue, demo_logp = (
+                self.get_action_and_value2(params, x, a, demo_a)
+            )
+        else:
+            newlogprob, entropy, newvalue = self.get_action_and_value2(
+                params, x, a
+            )
         logratio = newlogprob - logp
         ratio = jnp.exp(logratio)
         approx_kl = ((ratio - 1) - logratio).mean()
@@ -518,10 +548,15 @@ class PPOTrainer:
             pg_loss - args.ppo.ent_coef * entropy_loss
             + v_loss * args.ppo.vf_coef
         )
+        if self._kickstart:
+            # annealed CE toward the demonstrator on the move/shoot heads —
+            # protects the BC clone from early noisy advantages + entropy pull
+            loss = loss - ks_coef * demo_logp.mean()
         return loss, (pg_loss, v_loss, entropy_loss,
                       jax.lax.stop_gradient(approx_kl))
 
-    def _update_ppo(self, agent_state, storage, key):
+    def _update_ppo(self, agent_state, storage, key, ks_coef=0.0,
+                    critic_only=False):
         args = self.args
         loss_grad_fn = jax.value_and_grad(self._ppo_loss, has_aux=True)
 
@@ -559,8 +594,23 @@ class PPOTrainer:
                         mb.advantages,
                         mb.returns,
                         mb.values,
+                        mb.demo_actions,
+                        ks_coef,
                     )
                 )
+                if critic_only:
+                    # critic-warmup phase: freeze the shared torso + actor
+                    # (the critic head alone learns the cloned policy's
+                    # values on frozen-torso features)
+                    grads = flax.core.freeze({
+                        "network_params": jax.tree.map(
+                            jnp.zeros_like, grads["network_params"]
+                        ),
+                        "actor_params": jax.tree.map(
+                            jnp.zeros_like, grads["actor_params"]
+                        ),
+                        "critic_params": grads["critic_params"],
+                    })
                 if self.axis_name is not None:
                     # data-parallel all-reduce over the mesh (rides ICI)
                     grads = jax.lax.pmean(grads, self.axis_name)
@@ -590,8 +640,14 @@ class PPOTrainer:
 
     # --------------------------------------------------------------- iteration
 
-    def _train_iteration(self, agent_state, stats, obs, done, info, key):
-        """rollout -> GAE -> update, as ONE jitted program."""
+    def _train_iteration(self, agent_state, stats, obs, done, info, key,
+                         ks_coef=0.0, critic_only=False):
+        """rollout -> GAE -> update, as ONE jitted program.
+
+        ``ks_coef`` (traced scalar) anneals the kickstart CE; ``critic_only``
+        (static) freezes torso+actor during the critic-warmup phase.  Both
+        default to the plain-PPO path so the 6-arg call signature used by
+        tests and gymca_tpu.parallel is unchanged."""
         (agent_state, stats, next_obs, next_done, next_info, key), storage = (
             jax.lax.scan(
                 self._step_once,
@@ -601,7 +657,9 @@ class PPOTrainer:
             )
         )
         storage = self._compute_gae(agent_state, next_obs, next_done, storage)
-        agent_state, losses, key = self._update_ppo(agent_state, storage, key)
+        agent_state, losses, key = self._update_ppo(
+            agent_state, storage, key, ks_coef, critic_only
+        )
 
         metrics = dict(losses)
         metrics["episodic_return"] = stats.returned_episode_returns.mean()
@@ -797,10 +855,29 @@ class PPOTrainer:
         host0 = jax.process_index() == 0
         history = []
         start = time.time()
+        warmup = int(getattr(args.exp, "critic_warmup_iters", 0))
+        ks_coef0 = float(args.ppo.kickstart_coef)
+        ks_decay = int(args.ppo.kickstart_decay_iters) or max(
+            num_iterations - warmup, 1
+        )
         for iteration in range(1, num_iterations + 1):
-            agent_state, stats, obs, done, info, key, metrics = (
-                self.train_iteration(agent_state, stats, obs, done, info, key)
-            )
+            if warmup or ks_coef0:
+                # kickstart CE holds at full strength through warmup, then
+                # anneals linearly to 0 over ks_decay PPO iterations
+                frac = max(0.0, 1.0 - max(iteration - warmup - 1, 0) / ks_decay)
+                agent_state, stats, obs, done, info, key, metrics = (
+                    self.train_iteration(
+                        agent_state, stats, obs, done, info, key,
+                        jnp.float32(ks_coef0 * frac),
+                        critic_only=iteration <= warmup,
+                    )
+                )
+            else:
+                agent_state, stats, obs, done, info, key, metrics = (
+                    self.train_iteration(
+                        agent_state, stats, obs, done, info, key
+                    )
+                )
             # single host sync per iteration
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             global_step = iteration * args.batch_size

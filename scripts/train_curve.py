@@ -61,6 +61,15 @@ def main():
                     help="behavior-cloning warm-start iterations from the "
                          "greedy-fire demonstrator before PPO (kickstart "
                          "for long modf horizons)")
+    ap.add_argument("--critic-warmup-iters", type=int, default=0,
+                    help="PPO iterations with torso+actor frozen after BC "
+                         "(critic learns the cloned policy's values first)")
+    ap.add_argument("--kickstart-coef", type=float, default=0.0,
+                    help="auxiliary CE toward the greedy demonstrator on the "
+                         "move/shoot heads, annealed to 0")
+    ap.add_argument("--kickstart-decay", type=int, default=0,
+                    help="iterations over which the kickstart CE anneals "
+                         "(0 = across the whole run)")
     ap.add_argument("--save-params", type=str, default=None,
                     help="pickle the final params (+ run config) here for "
                          "scripts/eval_policy.py")
@@ -85,6 +94,8 @@ def main():
     ppo_kwargs["shape_tree_coef"] = a.shape_tree_coef
     ppo_kwargs["shape_dist_coef"] = a.shape_dist_coef
     ppo_kwargs["shape_douse_coef"] = a.shape_douse_coef
+    ppo_kwargs["kickstart_coef"] = a.kickstart_coef
+    ppo_kwargs["kickstart_decay_iters"] = a.kickstart_decay
 
     # curriculum stages: [(speed_multiplier, num_iters)]
     if a.sm_schedule:
@@ -109,6 +120,7 @@ def main():
                 num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
                 position_features=a.position_features,
                 centroid_features=a.centroid_features,
+                critic_warmup_iters=a.critic_warmup_iters,
             ),
         )
 

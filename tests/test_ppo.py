@@ -315,3 +315,63 @@ def test_greedy_demo_action_contract(trainer, env):
     assert (acts[:, 1] == 1).all()
     if trainer.n_action_heads > 2:
         assert (acts[:, 2:] == 0).all()
+
+
+def test_critic_warmup_freezes_torso_and_actor(env):
+    """critic_only iterations update ONLY the critic head; torso + actor
+    params are bit-identical afterwards (the critic-warmup phase of the
+    kickstart recipe, docs/learning_at_scale.md §5)."""
+    tr = PPOTrainer(env, small_args(), jax.random.key(9))
+    st, stats, obs, done, info, key = _carry(tr, env)
+    out = tr.train_iteration(st, stats, obs, done, info, key,
+                             jnp.float32(0.0), critic_only=True)
+    st2 = out[0]
+    pb, pa = st.params, st2.params
+    for sub in ("network_params", "actor_params"):
+        assert all(
+            np.array_equal(a, b)
+            for a, b in zip(jax.tree.leaves(pb[sub]), jax.tree.leaves(pa[sub]))
+        ), sub
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(pb["critic_params"]),
+                        jax.tree.leaves(pa["critic_params"]))
+    )
+
+
+def test_kickstart_ce_pulls_toward_demonstrator(env):
+    """With a large kickstart coefficient the policy's log-probability of
+    the demonstrator's actions increases after an update; with coef 0 the
+    loss path reduces to plain PPO (finite metrics, contract only)."""
+    args = small_args(centroid_features=True)
+    args.ppo.kickstart_coef = 5.0
+    tr = PPOTrainer(env, args, jax.random.key(11))
+    st, stats, obs, done, info, key = _carry(tr, env)
+
+    def demo_logp(params, obs):
+        demo = tr._greedy_demo_action(obs[1])
+        feats = tr._policy_features(obs[1])
+        _, _, _, dlp = tr.get_action_and_value2(
+            params, (obs[0], feats), demo, demo
+        )
+        return float(dlp.mean())
+
+    before = demo_logp(st.params, obs)
+    out = tr.train_iteration(st, stats, obs, done, info, key,
+                             jnp.float32(5.0))
+    st2, metrics = out[0], out[-1]
+    after = demo_logp(st2.params, obs)
+    assert after > before, (before, after)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_with_warmup_and_kickstart_schedule(env):
+    """End-to-end train() through the warmup -> annealed-kickstart schedule
+    (3 iterations: 1 critic-only, then CE annealing) stays finite."""
+    args = small_args(centroid_features=True, critic_warmup_iters=1)
+    args.ppo.kickstart_coef = 1.0
+    args.ppo.kickstart_decay_iters = 2
+    tr = PPOTrainer(env, args, jax.random.key(13))
+    _, history = tr.train(num_iterations=3)
+    assert len(history) == 3
+    assert all(np.isfinite(h["loss"]) for h in history)
