@@ -97,8 +97,8 @@ def _alexandridis_kernel(
     vdf_ref,  # (1, H, W) bf16 — (1+p_veg)(1+p_den), static terrain
     slope_ref,  # (1, 3, 3, H, W) bf16 — exp(0.078*slope), static terrain;
     #            the largest input (9 planes), halved by bf16
-    bands_h_ref,  # (NB, H, H) bf16 — banded-ones stack (constant block)
-    bands_w_ref,  # (NB, W, W) bf16 — ditto for the column direction
+    bands_h_ref,  # banded: (NB, H, H) bf16 stack | sat: (1, H, H) bf16 tril
+    bands_w_ref,  # banded: (NB, W, W) bf16 stack | sat: (1, W, W) bf16 triu
     wind_ref,  # (1, 1, 8) f32 SMEM — wind matrix in NEIGHBOR_OFFSETS order
     seed_ref,  # (1, 1, 2) int32 SMEM — two PRNG seed words per (env, step)
     out_grid_ref,  # (1, H, W) int32
@@ -112,6 +112,9 @@ def _alexandridis_kernel(
     dousing_inner: float,
     fire_age_min: int,
     fire_age_max: int,
+    box_mode: str = "banded",  # "banded" = per-radius matmul pairs;
+    #                            "sat" = one summed-area table (4 matmuls
+    #                            total), bit-identical counts for H <= 256
 ):
     # Two seed words (the env's full threefry key data): a single 31-bit
     # seed would birthday-collide over long training runs.
@@ -130,15 +133,28 @@ def _alexandridis_kernel(
     dous16 = (dous_ref[0].astype(jnp.int32) > 0).astype(jnp.bfloat16)
 
     # heat = sum_r c_r * box_r(fire); dousing = two-level box on counts.
-    # Box sums ride the MXU as bf16 banded matmuls (exact: counts <= 169).
-    heat = jnp.zeros((h, w), jnp.float32)
-    for r, c in enumerate(layer_coeffs, start=1):
-        heat = heat + c * _box(fire16, bands_h_ref[r - 1], bands_w_ref[r - 1])
-    dousing_ret = (
-        (dousing_inner - dousing_border)
-        * _box(dous16, bands_h_ref[0], bands_w_ref[0])
-        + dousing_border * _box(dous16, bands_h_ref[1], bands_w_ref[1])
-    )
+    # Box sums are exact integer counts on either path (<= 169 < 2^8).
+    if box_mode == "sat":
+        heat = _sat_boxes(
+            fire16, bands_h_ref[0], bands_w_ref[0],
+            list(enumerate(layer_coeffs, start=1)), rows, cols,
+        )
+        dousing_ret = _sat_boxes(
+            dous16, bands_h_ref[0], bands_w_ref[0],
+            [(1, dousing_inner - dousing_border), (2, dousing_border)],
+            rows, cols,
+        )
+    else:
+        heat = jnp.zeros((h, w), jnp.float32)
+        for r, c in enumerate(layer_coeffs, start=1):
+            heat = heat + c * _box(
+                fire16, bands_h_ref[r - 1], bands_w_ref[r - 1]
+            )
+        dousing_ret = (
+            (dousing_inner - dousing_border)
+            * _box(dous16, bands_h_ref[0], bands_w_ref[0])
+            + dousing_border * _box(dous16, bands_h_ref[1], bands_w_ref[1])
+        )
 
     base = (heat - dousing_ret) * vdf_ref[0].astype(jnp.float32)
 
@@ -265,6 +281,52 @@ def build_triu_ones(n: int) -> jnp.ndarray:
     ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return (ii <= jj).astype(jnp.bfloat16)
+
+
+def build_tril_ones(n: int) -> jnp.ndarray:
+    """(n, n) bf16 lower-triangular ones: tril @ X = row-wise inclusive
+    cumsum (the row leg of the summed-area table)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (jj <= ii).astype(jnp.bfloat16)
+
+
+def _sat_boxes(x16, tril, triu, radii_coeffs, rows, cols):
+    """Weighted sum of Chebyshev box filters via ONE summed-area table.
+
+    TWO matmuls total (row cumsum, column cumsum) replace the per-radius
+    banded pair (the single-program kernel's former 2R+4 matmuls); each
+    box_r then costs ~11 VPU roll/select ops via the 4-corner identity
+        box_r[i,j] = D[min(i+r,H-1), j] - D[i-r-1, j]   (0 when i < r+1)
+        D[i,   j]  = SAT[i, min(j+r,W-1)] - SAT[i, j-r-1] (0 when j < r+1)
+    with edge clamping exact because x is zero outside the lattice.
+
+    Exactness: x in {0,1} bf16; row cumsum <= H accumulates in f32; the
+    bf16 recast feeding the second matmul is exact only for counts <= 256,
+    hence the H <= 256 gate in the dispatcher.  SAT values <= H*W << 2^24
+    stay exact in f32, so the resulting counts are bit-identical to the
+    banded-matmul path."""
+    h, w = x16.shape
+    cr = jax.lax.dot_general(
+        tril, x16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sat = jax.lax.dot_general(
+        cr.astype(jnp.bfloat16), triu, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lastcol = sat[:, w - 1:w]
+    out = jnp.zeros((h, w), jnp.float32)
+    for r, c in radii_coeffs:
+        right = jnp.where(cols < w - r, pltpu.roll(sat, (-r) % w, 1), lastcol)
+        left = jnp.where(cols >= r + 1, pltpu.roll(sat, r + 1, 1), 0.0)
+        t = right - left
+        down = jnp.where(
+            rows < h - r, pltpu.roll(t, (-r) % h, 0), t[h - 1:h, :]
+        )
+        up = jnp.where(rows >= r + 1, pltpu.roll(t, r + 1, 0), 0.0)
+        out = out + c * (down - up)
+    return out
 
 
 def _alexandridis_tiled_kernel(
@@ -427,7 +489,7 @@ def _alexandridis_tiled_kernel(
     static_argnames=(
         "empty", "tree", "fire", "layer_coeffs", "dousing_border",
         "dousing_inner", "fire_age_min", "fire_age_max", "interpret",
-        "force_tiled", "tile_band_rows",
+        "force_tiled", "tile_band_rows", "box_mode",
     ),
 )
 def alexandridis_fused_step(
@@ -451,6 +513,8 @@ def alexandridis_fused_step(
     force_tiled: bool = False,
     tile_band_rows: int | None = None,  # testing: force a band height so
     #                                     multi-band halo paths run on small grids
+    box_mode: str = "auto",  # "auto" = SAT when exact (H <= 256) else banded;
+    #                          "banded"/"sat" pin a path for A/B testing
 ):
     """Batched fused Alexandridis update: returns (new_grid, new_fire_age).
 
@@ -546,14 +610,24 @@ def alexandridis_fused_step(
             seed_in,
         )
 
+    use_sat = box_mode == "sat" or (box_mode == "auto" and h <= 256)
     kernel = functools.partial(
         _alexandridis_kernel,
         empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,
         dousing_border=dousing_border, dousing_inner=dousing_inner,
         fire_age_min=fire_age_min, fire_age_max=fire_age_max,
+        box_mode="sat" if use_sat else "banded",
     )
-    bands_h = build_banded_ones(h, n_bands)
-    bands_w = bands_h if h == w else build_banded_ones(w, n_bands)
+    if use_sat:
+        # summed-area-table path: one tril + one triu matrix serve every
+        # radius (4 matmuls/env instead of 2R+4)
+        bands_h = build_tril_ones(h)[None]
+        bands_w = build_triu_ones(w)[None]
+        nb_h = nb_w = 1
+    else:
+        bands_h = build_banded_ones(h, n_bands)
+        bands_w = bands_h if h == w else build_banded_ones(w, n_bands)
+        nb_h = nb_w = n_bands
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -564,9 +638,9 @@ def alexandridis_fused_step(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((1, 3, 3, h, w), lambda i: (i, 0, 0, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((n_bands, h, h), lambda i: (0, 0, 0),
+            pl.BlockSpec((nb_h, h, h), lambda i: (0, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((n_bands, w, w), lambda i: (0, 0, 0),
+            pl.BlockSpec((nb_w, w, w), lambda i: (0, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),

@@ -158,3 +158,32 @@ def test_tiled_matches_single_program_across_band_halos():
     )
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_sat_matches_banded_box_path():
+    """The summed-area-table box path (round 5: 4 matmuls/env) must be
+    BIT-identical to the per-radius banded-matmul path — the counts are
+    exact integers on both, and the PRNG draw order is unchanged.  Fires
+    placed on every edge/corner exercise the SAT's clamped-corner logic."""
+    N2, H2, W2 = 2, 16, 128
+    key = jax.random.key(11)
+    grid = jax.random.choice(
+        key, jnp.asarray([EMPTY, TREE, TREE, FIRE]), (N2, H2, W2)
+    ).astype(jnp.int32)
+    for r, c in [(0, 0), (0, 127), (15, 0), (15, 127), (7, 64)]:
+        grid = grid.at[0, r, c].set(FIRE)
+    age = jnp.where(grid == FIRE, 50.0, 0.0)
+    dousing = (
+        jax.random.uniform(jax.random.fold_in(key, 1), (N2, H2, W2)) < 0.1
+    ).astype(jnp.int32)
+    args = (
+        grid, age, dousing,
+        jnp.full((N2, H2, W2), 2.0),
+        jnp.ones((N2, 3, 3, H2, W2)),
+        jnp.full((N2, 8), 100.0),
+        jnp.asarray([[3, 17], [5, 23]], jnp.int32),
+    )
+    g1, a1 = alexandridis_fused_step(*args, box_mode="banded", **KW)
+    g2, a2 = alexandridis_fused_step(*args, box_mode="sat", **KW)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

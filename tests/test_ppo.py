@@ -115,6 +115,7 @@ def test_gae_matches_numpy_oracle(trainer):
         rewards=jnp.asarray(rewards),
         returns=jnp.zeros((T, N)),
         advantages=jnp.zeros((T, N)),
+        demo_actions=jnp.zeros((T, N, 2), jnp.int32),
     )
 
     def gae_once(advantages, inp):
