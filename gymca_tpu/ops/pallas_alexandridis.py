@@ -75,6 +75,24 @@ def _box(x16, d_rows16, d_cols16):
     )
 
 
+def _box_i8(x8, d_rows8, d_cols8):
+    """Chebyshev box sum via two banded INT8 matmuls (s8 x s8 -> s32).
+
+    v5e's MXU runs int8 at 2x its bf16 rate (394 vs 197 TOPS) and the
+    banded-matmul box phase is MXU-saturated (measured: bf16 banded ==
+    SAT in time) — int8 halves the kernel's dominant cost.  All values
+    are exact small integers: masks/ones in {0,1}, row sums <= 2r+1 <= 13,
+    box counts <= 169 << 2^31."""
+    t = jax.lax.dot_general(
+        d_rows8, x8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return jax.lax.dot_general(
+        t.astype(jnp.int8), d_cols8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def _shift2d(g, dr: int, dc: int, fill, rows, cols):
     """S[r, c] = g[r + dr, c + dc] with edge fill (Mosaic rolls + masks)."""
     h, w = g.shape
@@ -115,6 +133,10 @@ def _alexandridis_kernel(
     box_mode: str = "banded",  # "banded" = per-radius matmul pairs;
     #                            "sat" = one summed-area table (4 matmuls
     #                            total), bit-identical counts for H <= 256
+    ablate: str = "",  # profiling aid (scripts/bench_fused_ca.py): skip one
+    #                    phase to attribute kernel time.  NEVER set on the
+    #                    env path — outputs are wrong by construction.
+    #                    "prng" | "boxes" | "ignite"
 ):
     # Two seed words (the env's full threefry key data): a single 31-bit
     # seed would birthday-collide over long training runs.
@@ -134,7 +156,10 @@ def _alexandridis_kernel(
 
     # heat = sum_r c_r * box_r(fire); dousing = two-level box on counts.
     # Box sums are exact integer counts on either path (<= 169 < 2^8).
-    if box_mode == "sat":
+    if ablate == "boxes":
+        heat = fire16.astype(jnp.float32) * 8.0
+        dousing_ret = dous16.astype(jnp.float32)
+    elif box_mode == "sat":
         heat = _sat_boxes(
             fire16, bands_h_ref[0], bands_w_ref[0],
             list(enumerate(layer_coeffs, start=1)), rows, cols,
@@ -143,6 +168,21 @@ def _alexandridis_kernel(
             dous16, bands_h_ref[0], bands_w_ref[0],
             [(1, dousing_inner - dousing_border), (2, dousing_border)],
             rows, cols,
+        )
+    elif box_mode == "banded8":
+        fire8 = fire_mask.astype(jnp.int8)
+        dous8 = (dous_ref[0].astype(jnp.int32) > 0).astype(jnp.int8)
+        heat = jnp.zeros((h, w), jnp.float32)
+        for r, c in enumerate(layer_coeffs, start=1):
+            heat = heat + c * _box_i8(
+                fire8, bands_h_ref[r - 1], bands_w_ref[r - 1]
+            ).astype(jnp.float32)
+        dousing_ret = (
+            (dousing_inner - dousing_border)
+            * _box_i8(dous8, bands_h_ref[0], bands_w_ref[0]).astype(
+                jnp.float32)
+            + dousing_border * _box_i8(
+                dous8, bands_h_ref[1], bands_w_ref[1]).astype(jnp.float32)
         )
     else:
         heat = jnp.zeros((h, w), jnp.float32)
@@ -158,26 +198,37 @@ def _alexandridis_kernel(
 
     base = (heat - dousing_ret) * vdf_ref[0].astype(jnp.float32)
 
-    # ignition: complement product over the 8 directions, one uniform/cell
+    # ignition: complement product over the 8 directions, one uniform/cell.
+    # Roll the f32 fire MASK (not the int32 grid): `where(fire_there, p, 0)`
+    # == `p * fire` exactly for fire in {0, 1}, which drops the per-direction
+    # int32 roll + compare + select — the loop was VPU-bound (the SAT change
+    # proved the kernel is not MXU-bound).  Bit-identical outputs.
+    fire_f = fire_mask.astype(jnp.float32)
     no_ignite = jnp.ones((h, w), jnp.float32)
-    for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
-        fire_there = _shift2d(g, dr, dc, empty, rows, cols) == fire
-        p = base * wind_ref[0, 0, d] * slope_ref[0, 1 + dr, 1 + dc].astype(
-            jnp.float32
-        )
-        no_ignite = no_ignite * jnp.maximum(
-            1.0 - jnp.where(fire_there, p, 0.0), 0.0
-        )
-    u = _uniform_01((h, w))
+    if ablate != "ignite":
+        for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+            fire_there = _shift2d(fire_f, dr, dc, 0.0, rows, cols)
+            p = base * wind_ref[0, 0, d] * slope_ref[
+                0, 1 + dr, 1 + dc].astype(jnp.float32)
+            no_ignite = no_ignite * jnp.maximum(1.0 - p * fire_there, 0.0)
+    else:
+        no_ignite = jnp.maximum(1.0 - base * 0.1, 0.0)
+    if ablate == "prng":
+        u = jnp.full((h, w), 0.5, jnp.float32)
+    else:
+        u = _uniform_01((h, w))
     ignite = u < 1.0 - no_ignite
 
     # fresh fire ages: fire_age_min + bits % span (span << 2^32: bias ~0)
     span = max(fire_age_max - fire_age_min, 1)
-    age_bits = pltpu.bitcast(pltpu.prng_random_bits((h, w)), jnp.uint32)
-    sampled_age = (
-        fire_age_min
-        + pltpu.bitcast(age_bits % jnp.uint32(span), jnp.int32)
-    ).astype(jnp.float32)
+    if ablate == "prng":
+        sampled_age = jnp.full((h, w), float(fire_age_min), jnp.float32)
+    else:
+        age_bits = pltpu.bitcast(pltpu.prng_random_bits((h, w)), jnp.uint32)
+        sampled_age = (
+            fire_age_min
+            + pltpu.bitcast(age_bits % jnp.uint32(span), jnp.int32)
+        ).astype(jnp.float32)
 
     tree_mask = g == tree
     burnout = fire_mask & (age <= 1.0)
@@ -436,28 +487,32 @@ def _alexandridis_tiled_kernel(
     )
     base = (heat - dousing_ret) * vdf_ref[0].astype(jnp.float32)
 
+    # Roll the f32 fire MASK, not the int32 grid — `where(fire_there, p, 0)`
+    # == `p * fire` exactly for fire in {0, 1} (see the single-program
+    # kernel); drops a compare + select per direction from the VPU-bound loop.
+    fire_ext_f = (g_ext == fire).astype(jnp.float32)
+
     def shift_ext(dr: int, dc: int):
-        """Center-band view of g_ext displaced by (dr, dc); |dr| <= halo so
-        the sublane roll + ALIGNED center slice never wraps garbage in."""
-        out = g_ext
+        """Center-band view of the fire mask displaced by (dr, dc);
+        |dr| <= halo so the sublane roll + ALIGNED center slice never wraps
+        garbage in."""
+        out = fire_ext_f
         if dr != 0:
             out = pltpu.roll(out, (-dr) % ext_rows, 0)
         out = out[halo:halo + bsz]
         if dc != 0:
             out = pltpu.roll(out, (-dc) % w, 1)
             v = (cols < w - 1) if dc == 1 else (cols >= 1)
-            out = jnp.where(v, out, empty)
+            out = jnp.where(v, out, 0.0)
         return out
 
     no_ignite = jnp.ones((bsz, w), jnp.float32)
     for d, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
-        fire_there = shift_ext(dr, dc) == fire
+        fire_there = shift_ext(dr, dc)
         p = base * wind_ref[0, 0, d] * slope_ref[0, 1 + dr, 1 + dc].astype(
             jnp.float32
         )
-        no_ignite = no_ignite * jnp.maximum(
-            1.0 - jnp.where(fire_there, p, 0.0), 0.0
-        )
+        no_ignite = no_ignite * jnp.maximum(1.0 - p * fire_there, 0.0)
     u = _uniform_01((bsz, w))
     ignite = u < 1.0 - no_ignite
 
@@ -489,7 +544,7 @@ def _alexandridis_tiled_kernel(
     static_argnames=(
         "empty", "tree", "fire", "layer_coeffs", "dousing_border",
         "dousing_inner", "fire_age_min", "fire_age_max", "interpret",
-        "force_tiled", "tile_band_rows", "box_mode",
+        "force_tiled", "tile_band_rows", "box_mode", "ablate",
     ),
 )
 def alexandridis_fused_step(
@@ -515,6 +570,8 @@ def alexandridis_fused_step(
     #                                     multi-band halo paths run on small grids
     box_mode: str = "auto",  # "auto" = SAT when exact (H <= 256) else banded;
     #                          "banded"/"sat" pin a path for A/B testing
+    ablate: str = "",  # profiling only (see _alexandridis_kernel); single-
+    #                    program path only
 ):
     """Batched fused Alexandridis update: returns (new_grid, new_fire_age).
 
@@ -610,15 +667,20 @@ def alexandridis_fused_step(
             seed_in,
         )
 
-    use_sat = box_mode == "sat" or (box_mode == "auto" and h <= 256)
+    # "auto" = int8 banded matmuls: the box phase is MXU-saturated and v5e
+    # runs s8 x s8 -> s32 at 2x the bf16 rate; bit-identical counts.
+    # SAT (4 matmuls + VPU extraction) measured equal to bf16 banded at 256²
+    # — kept for A/B and as the H > 256 exactness fallback reference.
+    mode = "banded8" if box_mode == "auto" else box_mode
     kernel = functools.partial(
         _alexandridis_kernel,
         empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,
         dousing_border=dousing_border, dousing_inner=dousing_inner,
         fire_age_min=fire_age_min, fire_age_max=fire_age_max,
-        box_mode="sat" if use_sat else "banded",
+        box_mode=mode,
+        ablate=ablate,
     )
-    if use_sat:
+    if mode == "sat":
         # summed-area-table path: one tril + one triu matrix serve every
         # radius (4 matmuls/env instead of 2R+4)
         bands_h = build_tril_ones(h)[None]
@@ -627,6 +689,9 @@ def alexandridis_fused_step(
     else:
         bands_h = build_banded_ones(h, n_bands)
         bands_w = bands_h if h == w else build_banded_ones(w, n_bands)
+        if mode == "banded8":
+            bands_h = bands_h.astype(jnp.int8)
+            bands_w = bands_w.astype(jnp.int8)
         nb_h = nb_w = n_bands
     return pl.pallas_call(
         kernel,

@@ -32,13 +32,14 @@ import sys
 import time
 
 
-def scan_time(step_fn, carry, steps, reps=3, consts=()):
+def scan_time(step_fn, carry, steps, reps=3, consts=(), name=""):
     """Time ``step_fn(carry, consts, key) -> carry`` over a fused scan.
 
     ``consts`` are loop-invariant tensors passed as jit ARGUMENTS (closing
     over them would embed them in the HLO as constants — the tunneled
     remote-compile path rejects multi-MB payloads)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(carry, consts, key):
@@ -46,17 +47,39 @@ def scan_time(step_fn, carry, steps, reps=3, consts=()):
             return step_fn(c, consts, k), ()
 
         c, _ = jax.lax.scan(body, carry, jax.random.split(key, steps))
-        return c
+        # Reduce the WHOLE carry to one f32 on device: the timing fence is a
+        # 4-byte fetch.  device_get of a full carry leaf (12.6 MB of RGB at
+        # 256²/64 envs) rides the single-chip tunnel at ~20 MB/s and adds
+        # ~600 µs/step of pure transfer to every variant — it's what made
+        # the r4/r5a numbers incoherent (step-only "slower" than full).
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(x).astype(jnp.float32),
+            jax.tree.map(
+                lambda x: x if jnp.issubdtype(x.dtype, jnp.number)
+                else x.astype(jnp.int32),
+                jax.tree.map(
+                    lambda x: (jax.random.key_data(x)
+                               if jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+                               else x),
+                    c,
+                ),
+            ),
+            jnp.float32(0.0),
+        )
 
+    t0 = time.perf_counter()
     key = jax.random.key(1)
-    out = run(carry, consts, key)
-    jax.block_until_ready(out)
+    _ = float(run(carry, consts, key))  # compile + first run
+    print(f"[split] {name}: compile+first {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    _ = float(run(carry, consts, jax.random.fold_in(key, 1)))
     best = float("inf")
     for i in range(reps):
         t0 = time.perf_counter()
-        out = run(carry, consts, jax.random.fold_in(key, i + 2))
-        _ = jax.device_get(jax.tree.leaves(out)[0])
+        _ = float(run(carry, consts, jax.random.fold_in(key, i + 2)))
         best = min(best, time.perf_counter() - t0)
+    print(f"[split] {name}: {best/steps*1e6:.1f} us/step",
+          file=sys.stderr, flush=True)
     return best / steps
 
 
@@ -121,8 +144,8 @@ def main():
         o2, _, _, _, i2 = env.stateless_step(acts(k), obs, info)
         return (o2, i2)
 
-    results["full_us"] = scan_time(full, (obs, info), a.steps)
-    results["step_only_us"] = scan_time(step_only, (obs, info), a.steps)
+    results["full_us"] = scan_time(full, (obs, info), a.steps, name="full")
+    results["step_only_us"] = scan_time(step_only, (obs, info), a.steps, name="step_only")
 
     # --- obs epilogue stubbed out (fresh env, stub bound pre-trace) ----------
     env2 = make_env(a.size, a.envs, obs_stub=True)
@@ -133,7 +156,7 @@ def main():
         o2, _, _, _, i2 = env2.stateless_step(acts(k), obs, info)
         return (o2, i2)
 
-    results["step_no_obs_us"] = scan_time(step_noobs, (obs2, info2), a.steps)
+    results["step_no_obs_us"] = scan_time(step_noobs, (obs2, info2), a.steps, name="step_no_obs")
 
     # --- CA stubbed out (fresh env, module attr patched pre-trace) -----------
     real_fused = pax.alexandridis_fused_step
@@ -152,7 +175,7 @@ def main():
             o2, _, _, _, i2 = env3.stateless_step(acts(k), obs, info)
             return (o2, i2)
 
-        results["step_no_ca_us"] = scan_time(step_noca, (obs3, info3), a.steps)
+        results["step_no_ca_us"] = scan_time(step_noca, (obs3, info3), a.steps, name="step_no_ca")
     finally:
         pax.alexandridis_fused_step = real_fused
 
@@ -177,7 +200,7 @@ def main():
 
     results["obs_iso_us"] = scan_time(
         obs_iso, per_env["true_grid"],
-        a.steps, consts=(per_env["dousing_count"], per_env["is_night"]),
+        a.steps, consts=(per_env["dousing_count"], per_env["is_night"]), name="obs_iso",
     )
 
     # --- fused CA kernel isolated ----------------------------------------------
@@ -210,7 +233,7 @@ def main():
 
         results["ca_iso_us"] = scan_time(
             ca_iso, (per_env["true_grid"], per_env["fire_age"]),
-            a.steps,
+            a.steps, name="ca_iso",
             consts=(per_env["dousing_count"], per_env["veg_den_factor"],
                     per_env["exp_slope"], wind_rows),
         )

@@ -213,6 +213,9 @@ def main():
             f"{'bf16' if a.bf16 else 'f32'}, seed {a.seed}, "
             + (" ".join(overrides) + " PPO" if overrides else "default PPO")
         ),
+        # full CLI namespace so the artifact is self-describing (the r5
+        # douse-run configs were otherwise unrecoverable after the session)
+        "args": {k: v for k, v in vars(a).items() if k != "out"},
         "hardware": "TPU v5e (1 chip)",
         "wall_seconds": round(wall, 1),
         "history": [
