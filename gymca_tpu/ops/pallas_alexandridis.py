@@ -286,7 +286,8 @@ def _tiled_band_rows(h: int, w: int, radius: int):
             + 9 * p_bf16      # slope
             + p_i8 + p_f32    # outputs
         )
-        mats = 2 * (n_bands * band * ext_rows * 2 + w * w * 2)
+        # int8 band/cumsum matrices (r5: the box matmuls run s8 on the MXU)
+        mats = 2 * (n_bands * band * ext_rows + w * w)
         scratch = 10 * ext_rows * w * 4
         if blocks + mats + scratch <= _VMEM_BUDGET_FUSED:
             return band, halo
@@ -298,11 +299,14 @@ def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
 
     Small grids (<= ~320^2) run as ONE grid program over the whole lattice;
     larger grids run the ROW-BAND TILED variant (halo rows assembled from
-    the neighboring blocks, rectangular banded row matmuls).  The remaining
-    ceiling is the (W, W) column banded-ones stack: past W = 512 it alone
-    blows VMEM, so e.g. 1024^2 still falls back to the XLA path (the
-    reference's own JAX CA handles any size, ca_alexandridis_jax.py:321-424,
-    at ~3 orders of magnitude lower throughput)."""
+    the neighboring blocks, rectangular banded row matmuls + one shared
+    (W, W) triangular cumsum for columns) — 512^2 (band 128) and 1024^2
+    (band 64) run fused.  The remaining ceiling is that shared (W, W)
+    cumsum matrix: at W = 2048 it alone (8 MB bf16, double-buffered)
+    blows VMEM, so 2048^2+ falls back to the XLA path (the reference's
+    own JAX CA handles any size, ca_alexandridis_jax.py:321-424, at ~3
+    orders of magnitude lower throughput).  Width must be lane-aligned
+    (w % 128 == 0): e.g. 320^2 falls back."""
     if h % 8 != 0 or w % 128 != 0:
         return False
     if radius is None:
@@ -390,8 +394,8 @@ def _alexandridis_tiled_kernel(
     dous_next_ref,  # (1, B, W) int8
     vdf_ref,  # (1, B, W) bf16
     slope_ref,  # (1, 3, 3, B, W) bf16
-    bands_rows_ref,  # (NB, B, B + 2*HALO) bf16 — rectangular, constant block
-    triu_ref,  # (W, W) bf16 upper-triangular ones — constant block
+    bands_rows_ref,  # (NB, B, B + 2*HALO) int8 — rectangular, constant block
+    triu_ref,  # (W, W) int8 upper-triangular ones — constant block
     wind_ref,  # (1, 1, 8) f32 SMEM
     seed_ref,  # (1, 1, 2) int32 SMEM
     out_grid_ref,  # (1, B, W) int8
@@ -452,24 +456,26 @@ def _alexandridis_tiled_kernel(
     age = age_ref[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, w), 1)
 
-    fire_ext16 = (g_ext == fire).astype(jnp.bfloat16)
-    dous_ext16 = (d_ext > 0).astype(jnp.bfloat16)
+    fire_ext8 = (g_ext == fire).astype(jnp.int8)
+    dous_ext8 = (d_ext > 0).astype(jnp.int8)
     cols_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, w), 1)
 
-    def box(x16, r):
-        # rows: rectangular banded matmul (exact bf16 counts, f32 accum)
+    def box(x8, r):
+        # rows: rectangular banded INT8 matmul (s8 x s8 -> s32: 2x the bf16
+        # MXU rate on v5e; see _box_i8 — the box phase is MXU-saturated)
         rows_sum = jax.lax.dot_general(
-            bands_rows_ref[r - 1], x16, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            bands_rows_ref[r - 1], x8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
         # cols: inclusive cumsum via the shared triangular matmul, then
-        # box_r[:, j] = cum[:, j+r] - cum[:, j-r-1] with edge clamping
+        # box_r[:, j] = cum[:, j+r] - cum[:, j-r-1] with edge clamping.
+        # rows_sum <= 2r+1 <= 19 fits int8 exactly; cum <= 19*W << 2^31.
         cum = jax.lax.dot_general(
-            rows_sum.astype(jnp.bfloat16), triu_ref[...],
+            rows_sum.astype(jnp.int8), triu_ref[...],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        total = jnp.sum(rows_sum, axis=1, keepdims=True)
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        total = jnp.sum(cum[:, w - 1:w], axis=1, keepdims=True)
         right = jnp.where(
             cols_b < w - r, pltpu.roll(cum, (-r) % w, 1), total
         )
@@ -480,10 +486,10 @@ def _alexandridis_tiled_kernel(
 
     heat = jnp.zeros((bsz, w), jnp.float32)
     for r, c in enumerate(layer_coeffs, start=1):
-        heat = heat + c * box(fire_ext16, r)
+        heat = heat + c * box(fire_ext8, r)
     dousing_ret = (
-        (dousing_inner - dousing_border) * box(dous_ext16, 1)
-        + dousing_border * box(dous_ext16, 2)
+        (dousing_inner - dousing_border) * box(dous_ext8, 1)
+        + dousing_border * box(dous_ext8, 2)
     )
     base = (heat - dousing_ret) * vdf_ref[0].astype(jnp.float32)
 
@@ -661,8 +667,8 @@ def alexandridis_fused_step(
             age_in,
             d_in, d_in, d_in,
             vdf_in, slope_in,
-            build_banded_ones_rect(band, halo, n_bands),
-            build_triu_ones(w),
+            build_banded_ones_rect(band, halo, n_bands).astype(jnp.int8),
+            build_triu_ones(w).astype(jnp.int8),
             wind_in,
             seed_in,
         )

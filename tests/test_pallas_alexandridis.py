@@ -105,9 +105,10 @@ def test_env_pallas_flag_gating():
 
 def test_vmem_budget_gate():
     """Single-program kernel tops out ~320^2; the ROW-BAND TILED kernel
-    (r4) extends coverage through 512^2 and 1024^2.  The remaining ceiling
-    is the (W, W) triangular cumsum matrix: 2048^2 still falls back to the
-    XLA path."""
+    (r4) extends coverage through 512^2 and 1024^2, and the r5 int8 band/
+    cumsum matrices (half the VMEM of bf16) admit 2048^2 (band 16).  The
+    remaining ceiling is the (W, W) triangular cumsum matrix: 4096^2 falls
+    back to the XLA path."""
     from gymca_tpu.ops.pallas_alexandridis import (
         _fits_single_program,
         _radius_for,
@@ -123,7 +124,8 @@ def test_vmem_budget_gate():
         assert not _fits_single_program(n, n, r), n
         assert _tiled_band_rows(n, n, r) is not None, n
         assert supports_fused_alexandridis(n, n), n
-    assert not supports_fused_alexandridis(2048, 2048)
+    assert supports_fused_alexandridis(2048, 2048)
+    assert not supports_fused_alexandridis(4096, 4096)
     assert not supports_fused_alexandridis(256, 200)  # width not tileable
 
 
@@ -187,3 +189,8 @@ def test_sat_matches_banded_box_path():
     g2, a2 = alexandridis_fused_step(*args, box_mode="sat", **KW)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # int8 MXU path (round 5, the default): exact integer counts, same PRNG
+    # draw order => bit-identical too
+    g3, a3 = alexandridis_fused_step(*args, box_mode="banded8", **KW)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
