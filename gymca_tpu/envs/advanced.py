@@ -470,9 +470,42 @@ class AdvancedForestFireBulldozerEnv:
         Table lookups / point writes are expressed as masked selects: TPU has
         no vector gather/scatter, so ``palette[idx]`` and ``.at[pos].set``
         lower to serial paths XLA can't fuse (measured several ms per step).
+
+        In uint8 obs mode the whole pipeline runs in INTEGER math — the
+        palettes/tints are integer-valued and the only blend is 0.25/0.75,
+        so ``round(rgb*0.25 + water*0.75)`` (round-half-to-even) equals the
+        fixed-point ``q + (r==3) + (r==2 and q odd)`` of ``v = rgb + 3*water``
+        exactly; bit-identity with the f32 path is pinned in
+        tests/test_advanced.py.  This keeps every (H, W, 3) intermediate in
+        narrow integer lanes instead of f32 (the obs epilogue is HBM/fusion
+        bound, docs/architecture.md §Advanced-step attribution).
         """
-        palette = jnp.where(is_night > 0, NIGHT_PALETTE, DAY_PALETTE)
         idx = jnp.clip(display_grid.astype(TYPE_INT), 0, 2)
+        h, w = idx.shape
+        at_pos = (
+            (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 0) == position[0])
+            & (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 1) == position[1])
+        )
+        if self._obs_dtype == jnp.uint8:
+            palette = jnp.where(
+                is_night > 0, NIGHT_PALETTE, DAY_PALETTE
+            ).astype(jnp.int32)
+            water = jnp.where(
+                is_night > 0, WATER_TINT_NIGHT, WATER_TINT_DAY
+            ).astype(jnp.int32)
+            rgb = jnp.zeros(idx.shape + (3,), jnp.int32)
+            for v in range(3):
+                rgb = jnp.where((idx == v)[..., None], palette[v], rgb)
+            # 0.25*rgb + 0.75*water, round-half-to-even (matches jnp.round
+            # of the exact f32 value: v/4 with v, q = v>>2, r = v&3)
+            v = rgb + 3 * water
+            q = v >> 2
+            r = v & 3
+            blended = q + (r == 3) + ((r == 2) & ((q & 1) == 1))
+            rgb = jnp.where((dousing_count == 1)[..., None], blended, rgb)
+            rgb = jnp.where(at_pos[..., None], 0, rgb)
+            return rgb.astype(jnp.uint8)
+        palette = jnp.where(is_night > 0, NIGHT_PALETTE, DAY_PALETTE)
         # one-hot select instead of gather
         rgb = jnp.zeros(idx.shape + (3,), TYPE_BOX)
         for v in range(3):
@@ -485,14 +518,7 @@ class AdvancedForestFireBulldozerEnv:
             dousing_mask, rgb * (1 - dousing_strength) + water * dousing_strength, rgb
         )
         # position pixel: black in both palettes (advanced_bulldozer.py:44,50)
-        h, w = idx.shape
-        at_pos = (
-            (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 0) == position[0])
-            & (jax.lax.broadcasted_iota(TYPE_INT, (h, w), 1) == position[1])
-        )
         rgb = jnp.where(at_pos[..., None], 0.0, rgb)
-        if self._obs_dtype == jnp.uint8:
-            rgb = jnp.round(rgb)
         return rgb.astype(self._obs_dtype)
 
     def _display_grid(self, extended_grid):

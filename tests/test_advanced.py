@@ -211,3 +211,32 @@ def test_use_pallas_ca_auto_default():
     assert forced_off.use_pallas_ca is False
     expected = jax.default_backend() == "tpu"
     assert auto_big.use_pallas_ca is expected
+
+
+def test_uint8_rgb_integer_path_bit_identical():
+    """uint8 obs mode renders in pure integer math (round 5); it must be
+    BIT-IDENTICAL to round() of the float32 path — including the
+    round-half-to-even ties the 0.25/0.75 dousing blend produces (e.g.
+    night empty doused red: (105 + 3*255)/4 = 217.5 -> 218)."""
+    env_u8 = AdvancedForestFireBulldozerEnv(
+        8, 8, key=jax.random.key(0), num_envs=1
+    )
+    env_f32 = AdvancedForestFireBulldozerEnv(
+        8, 8, key=jax.random.key(0), num_envs=1, obs_dtype=jnp.float32
+    )
+    assert env_u8._obs_dtype == jnp.uint8
+
+    # display grid covering every cell value; dousing covering 0/1/2
+    vals = jnp.arange(64, dtype=jnp.float32).reshape(8, 8) % 3
+    dousing = (jnp.arange(64, dtype=jnp.int32).reshape(8, 8) // 2) % 3
+    pos = jnp.asarray([3, 5], jnp.int32)
+    for night in (jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32)):
+        u8 = env_u8._grid_to_rgb(vals, night, dousing, pos)
+        f32 = env_f32._grid_to_rgb(vals, night, dousing, pos)
+        assert u8.dtype == jnp.uint8 and f32.dtype == jnp.float32
+        expect = np.asarray(jnp.round(f32)).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(u8), expect)
+        # the tie case really is exercised
+        if int(night) == 1:
+            doused_empty = (np.asarray(vals) == 0) & (np.asarray(dousing) == 1)
+            assert np.asarray(u8)[doused_empty][:, 0].min() == 218
