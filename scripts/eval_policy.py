@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--speed-multiplier", type=float, default=1.0)
+    ap.add_argument("--env-key", type=int, default=0,
+                    help="terrain/initial-state PRNG key; a non-default "
+                         "value gives a held-out grid population (training "
+                         "envs derive from key 0)")
     ap.add_argument("--probes", action="store_true",
                     help="also run idle/random/greedy-fire under the same "
                          "protocol")
@@ -124,7 +128,7 @@ def main():
 
     def make_env():
         return AdvancedForestFireBulldozerEnv(
-            blob["size"], blob["size"], key=jax.random.key(0),
+            blob["size"], blob["size"], key=jax.random.key(a.env_key),
             num_envs=a.envs, ca_repeat_mode=blob["ca_repeat_mode"],
             speed_multiplier=a.speed_multiplier,
         )
@@ -135,6 +139,7 @@ def main():
                      jax.random.key(0))
     r["policy"] = "trained-greedy"
     r["params"] = a.params
+    r["env_key"] = a.env_key
     print(json.dumps(r), flush=True)
 
     if a.probes:
@@ -171,6 +176,7 @@ def main():
             r = run_episodes(make_env(), fn, a.steps, a.envs,
                              jax.random.key(0))
             r["policy"] = name
+            r["env_key"] = a.env_key
             print(json.dumps(r), flush=True)
 
 
