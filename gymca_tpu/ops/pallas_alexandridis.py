@@ -253,12 +253,21 @@ def _radius_for(h: int) -> int:
     return max(math.ceil(math.log2(max(h, 4))) - 2, 1)
 
 
-def _fits_single_program(h: int, w: int, radius: int) -> bool:
-    """One grid program holds the WHOLE (H, W) lattice (original layout)."""
-    n_bands = max(radius, 2)
+def _fits_single_program(
+    h: int, w: int, radius: int, box_mode: str = "banded8"
+) -> bool:
+    """One grid program holds the WHOLE (H, W) lattice (original layout).
+
+    ``box_mode`` sizes the constant band matrices: the default ``banded8``
+    ships int8 stacks (1 B/elem), ``banded`` bf16 (2 B), ``sat`` one bf16
+    tril + one triu (band count 1).  In practice the f32 pipeline blocks
+    dominate, so the single-program ceiling (~320² for square grids) is
+    mode-insensitive; the parameter keeps the accounting honest."""
+    n_bands = 1 if box_mode == "sat" else max(radius, 2)
+    elem = 2 if box_mode in ("banded", "sat") else 1
     plane = h * w * 4
     blocks = 2 * (13 + 2) * plane  # double-buffered in/out (H, W) f32 planes
-    bands = 2 * n_bands * (h * h + w * w) * 2  # bf16 stacks, double-buffered
+    bands = 2 * n_bands * (h * h + w * w) * elem  # double-buffered
     scratch = 6 * plane  # live f32 temporaries inside the kernel body
     return blocks + bands + scratch <= _VMEM_BUDGET_FUSED
 
@@ -300,13 +309,15 @@ def supports_fused_alexandridis(h: int, w: int, radius: int = None) -> bool:
     Small grids (<= ~320^2) run as ONE grid program over the whole lattice;
     larger grids run the ROW-BAND TILED variant (halo rows assembled from
     the neighboring blocks, rectangular banded row matmuls + one shared
-    (W, W) triangular cumsum for columns) — 512^2 (band 128) and 1024^2
-    (band 64) run fused.  The remaining ceiling is that shared (W, W)
-    cumsum matrix: at W = 2048 it alone (8 MB bf16, double-buffered)
-    blows VMEM, so 2048^2+ falls back to the XLA path (the reference's
-    own JAX CA handles any size, ca_alexandridis_jax.py:321-424, at ~3
-    orders of magnitude lower throughput).  Width must be lane-aligned
-    (w % 128 == 0): e.g. 320^2 falls back."""
+    (W, W) triangular cumsum for columns) — 512^2 (band 128), 1024^2
+    (band 64) and, since the r5 int8 band/cumsum matrices (1 B/elem),
+    2048^2 (band 16) run fused.  The remaining ceiling is that shared
+    (W, W) cumsum matrix: at W = 4096 it alone (16 MB int8,
+    double-buffered) blows VMEM, so 4096^2+ falls back to the XLA path
+    (the reference's own JAX CA handles any size,
+    ca_alexandridis_jax.py:321-424, at ~3 orders of magnitude lower
+    throughput).  Width must be lane-aligned (w % 128 == 0): e.g. 320^2
+    falls back."""
     if h % 8 != 0 or w % 128 != 0:
         return False
     if radius is None:
@@ -574,8 +585,11 @@ def alexandridis_fused_step(
     force_tiled: bool = False,
     tile_band_rows: int | None = None,  # testing: force a band height so
     #                                     multi-band halo paths run on small grids
-    box_mode: str = "auto",  # "auto" = SAT when exact (H <= 256) else banded;
-    #                          "banded"/"sat" pin a path for A/B testing
+    box_mode: str = "auto",  # "auto" = "banded8" (int8 MXU matmuls, the
+    #                          measured-fastest exact path); "banded" (bf16)
+    #                          / "sat" pin a path for A/B testing.  The
+    #                          TILED path (>~320^2) always runs its own int8
+    #                          banded scheme and ignores this knob.
     ablate: str = "",  # profiling only (see _alexandridis_kernel); single-
     #                    program path only
 ):
@@ -592,6 +606,13 @@ def alexandridis_fused_step(
     """
     n, h, w = grid.shape
     assert supports_fused_alexandridis(h, w, len(layer_coeffs)), (h, w)
+    if box_mode not in ("auto", "banded", "banded8", "sat"):
+        raise ValueError(f"unknown box_mode {box_mode!r}")
+    # "auto" = int8 banded matmuls: the box phase is MXU-saturated and v5e
+    # runs s8 x s8 -> s32 at 2x the bf16 rate; bit-identical counts.
+    # SAT (4 matmuls + VPU extraction) measured equal to bf16 banded at 256²
+    # — kept for A/B and as an exactness cross-check.
+    mode = "banded8" if box_mode == "auto" else box_mode
     n_bands = max(len(layer_coeffs), 2)
     vm = pltpu.VMEM
     inputs_common = (
@@ -604,7 +625,9 @@ def alexandridis_fused_step(
     wind_in = wind_rows[:, None, :].astype(jnp.float32)
     seed_in = seeds[:, None, :].astype(jnp.int32)
 
-    if force_tiled or not _fits_single_program(h, w, len(layer_coeffs)):
+    if force_tiled or not _fits_single_program(
+        h, w, len(layer_coeffs), mode
+    ):
         tiling = _tiled_band_rows(h, w, len(layer_coeffs))
         assert tiling is not None, (h, w)
         band, halo = tiling
@@ -673,11 +696,6 @@ def alexandridis_fused_step(
             seed_in,
         )
 
-    # "auto" = int8 banded matmuls: the box phase is MXU-saturated and v5e
-    # runs s8 x s8 -> s32 at 2x the bf16 rate; bit-identical counts.
-    # SAT (4 matmuls + VPU extraction) measured equal to bf16 banded at 256²
-    # — kept for A/B and as the H > 256 exactness fallback reference.
-    mode = "banded8" if box_mode == "auto" else box_mode
     kernel = functools.partial(
         _alexandridis_kernel,
         empty=empty, tree=tree, fire=fire, layer_coeffs=layer_coeffs,

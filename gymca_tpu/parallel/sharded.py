@@ -96,6 +96,43 @@ class DataParallelPPO:
             )
         )
 
+        # kickstart-CE / critic-warmup variant: ks_coef rides as a
+        # replicated scalar; critic_only needs its own compiled program
+        # (it is a static argument in PPOTrainer._train_iteration).
+        # Built eagerly only when the args ask for those phases, so plain
+        # DP-PPO pays nothing.
+        def build_ks(critic_only):
+            def per_shard_ks(agent_state, stats, obs, done, info, key,
+                             ks_coef):
+                stats = jax.tree.map(lambda x: x[0], stats)
+                out = self.trainer._train_iteration(
+                    agent_state, stats, obs, done, info, key[0],
+                    ks_coef=ks_coef, critic_only=critic_only,
+                )
+                (agent_state, stats, next_obs, next_done, next_info,
+                 new_key, metrics) = out
+                stats = jax.tree.map(lambda x: x[None], stats)
+                metrics = jax.lax.pmean(metrics, axis)
+                return (agent_state, stats, next_obs, next_done, next_info,
+                        new_key[None], metrics)
+
+            return jax.jit(
+                shard_map(
+                    per_shard_ks,
+                    mesh=mesh,
+                    in_specs=carry_specs + (P(),),
+                    out_specs=carry_specs[:5] + (P(axis), metric_spec),
+                )
+            )
+
+        self._ks_warmup = int(getattr(args.exp, "critic_warmup_iters", 0))
+        self._ks_coef0 = float(args.ppo.kickstart_coef)
+        self._ks_decay = int(args.ppo.kickstart_decay_iters)
+        self._iter_ks = (
+            build_ks(False) if (self._ks_warmup or self._ks_coef0) else None
+        )
+        self._iter_warmup = build_ks(True) if self._ks_warmup else None
+
     # ---------------------------------------------------------------- carry init
 
     def init_carry(self):
@@ -117,13 +154,33 @@ class DataParallelPPO:
         return jax.tree.map(lambda x: x, carry)
 
     def train(self, num_iterations: int, log_fn=None):
+        """DP-PPO loop; honors the kickstart-CE / critic-warmup schedule
+        (same semantics as PPOTrainer.train — CE at full strength through
+        warmup, then a linear anneal to 0).  Run ``trainer.bc_pretrain``
+        BEFORE this (single-device) to seed the clone; params flow into the
+        sharded carry via ``init_carry``."""
         import time
 
         carry = self.init_carry()
         history = []
         start = time.time()
+        warmup = self._ks_warmup
+        ks_decay = self._ks_decay or max(num_iterations - warmup, 1)
         for iteration in range(1, num_iterations + 1):
-            *carry, metrics = self.train_iteration(*carry)
+            if self._iter_ks is not None:
+                frac = max(
+                    0.0, 1.0 - max(iteration - warmup - 1, 0) / ks_decay
+                )
+                fn = (
+                    self._iter_warmup
+                    if iteration <= warmup
+                    else self._iter_ks
+                )
+                *carry, metrics = fn(
+                    *carry, jnp.float32(self._ks_coef0 * frac)
+                )
+            else:
+                *carry, metrics = self.train_iteration(*carry)
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             metrics["global_step"] = iteration * self.args.batch_size
             metrics["SPS"] = int(metrics["global_step"] / max(time.time() - start,

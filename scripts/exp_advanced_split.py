@@ -180,15 +180,12 @@ def main():
         pax.alexandridis_fused_step = real_fused
 
     # --- obs epilogue isolated ------------------------------------------------
-    per_env = obs[1]["per_env_context"]
-    shared = jax.tree.map(lambda x: x, obs[1]["shared_context"])
     pos = obs[1]["position"]
 
     def obs_iso(carry, consts, k):
         grid = carry
         dousing, is_night = consts
         fa = acts(k)
-        pe = {"is_night": is_night, "dousing_count": dousing}
         rgb = jax.vmap(
             lambda g, p, aa, inight, dc: env._grid_to_rgb(
                 g.astype(jnp.float32), inight, dc, p

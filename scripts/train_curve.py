@@ -109,9 +109,16 @@ def main():
     else:
         stages = [(a.speed_multiplier, a.iters)]
 
-    def make_args(sm, iters):
+    def make_args(sm, iters, stage_i):
+        # BC / critic-warmup / kickstart-CE are START-of-training phases:
+        # only stage 0 runs them.  Later curriculum stages would otherwise
+        # re-freeze the torso/actor and snap the annealed CE back to full
+        # strength, yanking a policy that has moved past the clone.
+        stage_kwargs = dict(ppo_kwargs)
+        if stage_i > 0:
+            stage_kwargs["kickstart_coef"] = 0.0
         return Args(
-            ppo=PPOArgs(**ppo_kwargs),
+            ppo=PPOArgs(**stage_kwargs),
             env=EnvArgs(num_envs=a.num_envs, size=a.size,
                         speed_multiplier=sm),
             viz=VisualizationArgs(),
@@ -120,7 +127,9 @@ def main():
                 num_ppo_steps=128, seed=a.seed, bf16_compute=a.bf16,
                 position_features=a.position_features,
                 centroid_features=a.centroid_features,
-                critic_warmup_iters=a.critic_warmup_iters,
+                critic_warmup_iters=(
+                    a.critic_warmup_iters if stage_i == 0 else 0
+                ),
             ),
         )
 
@@ -133,7 +142,7 @@ def main():
             speed_multiplier=sm, use_pallas_ca=a.pallas_ca,
             ca_repeat_mode=a.ca_repeat_mode,
         )
-        trainer = PPOTrainer(env, make_args(sm, stage_iters),
+        trainer = PPOTrainer(env, make_args(sm, stage_iters, stage_i),
                              key=jax.random.key(a.seed))
         if carry_state is not None:
             # PARAMS carry across stages; the optimizer state does NOT — a

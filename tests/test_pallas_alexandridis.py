@@ -194,3 +194,27 @@ def test_sat_matches_banded_box_path():
     g3, a3 = alexandridis_fused_step(*args, box_mode="banded8", **KW)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_box_mode_validated():
+    """Unknown box_mode raises instead of silently falling through to the
+    bf16 banded branch (r5)."""
+    import pytest as _pytest
+
+    from gymca_tpu.ops.pallas_alexandridis import alexandridis_fused_step
+
+    with _pytest.raises(ValueError, match="box_mode"):
+        alexandridis_fused_step(
+            jnp.zeros((1, 8, 128), jnp.int8),
+            jnp.zeros((1, 8, 128), jnp.float32),
+            jnp.zeros((1, 8, 128), jnp.int8),
+            jnp.ones((1, 8, 128), jnp.float32),
+            jnp.ones((1, 3, 3, 8, 128), jnp.float32),
+            jnp.ones((1, 8), jnp.float32),
+            jnp.zeros((1, 2), jnp.int32),
+            empty=0, tree=1, fire=2,
+            layer_coeffs=(1.0, 0.5),
+            dousing_border=0.1, dousing_inner=0.2,
+            fire_age_min=3, fire_age_max=7,
+            interpret=True, box_mode="band8",
+        )
