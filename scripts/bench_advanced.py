@@ -4,6 +4,10 @@
 1000-step scan inside one jit (the ~27 ms tunnel dispatch otherwise
 dominates shorter scans), min over reps, host-fetch fence.
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

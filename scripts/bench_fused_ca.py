@@ -8,6 +8,10 @@ box_mode, with the bench.py scan/min-of-reps harness and a 4-byte fence.
 """
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import functools
 import json

@@ -28,6 +28,10 @@ Usage:
 
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

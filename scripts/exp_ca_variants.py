@@ -5,6 +5,10 @@ kernel: (A) banded int32 conv+decode (current), (B) boolean int8 rule.
 Both are bit-identical in output (the conv decode reduces to: fire->empty,
 tree->fire iff any successful-direction fire neighbor, else keep).
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -10,6 +10,10 @@ Variants:
        per program (slot-major lanes), block (B,?) -> needs B<=... just try
        (B,4) f32? Mosaic may want (8,128) mult; use (B, 128) int32 padded.
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

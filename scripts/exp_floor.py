@@ -10,6 +10,10 @@ HBM grid, scanned 1000 steps inside one jit:
   E. C with P=16 / 64 programs
   F. C + counts SMEM output (current output shape)
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -4,6 +4,10 @@
 Variants of a no-op/minimal kernel over (N, H, W) int8 grids with different
 envs-per-program B and SMEM layouts, timed with the scan-inside-jit recipe.
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

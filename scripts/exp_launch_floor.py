@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Isolate: (a) pallas launch floor (no-op kernel, precomputed inputs),
 (b) the XLA partition/pack cost alone (varying input, no kernel)."""
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Can XLA gather/scatter of single agent cells beat the kernel tile path?
 (N,H,W) int8 grids; per env one dynamic cell read-modify-write per step."""
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

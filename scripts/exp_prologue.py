@@ -2,6 +2,10 @@
 """Where does the sparse-step floor live?  Times the XLA-side partition/pack
 prologue of windy_fused_step in isolation, plus variants, with the
 scan-inside-jit recipe."""
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

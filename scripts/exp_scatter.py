@@ -7,6 +7,10 @@ Full-copy cost would be ~256MB/iter ≈ 300+ us; in-place ≈ ~10 us.
 Also tests the combination with the aliased pallas kernel (scatter after
 kernel on its output).
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -5,6 +5,10 @@ Drives windy_fused_step directly with synthetic work lists at controlled
 class fractions (bench-realistic: ~8% CA, ~46% modify, rest noop), using the
 scan-inside-jit timing recipe.
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

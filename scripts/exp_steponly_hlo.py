@@ -4,6 +4,10 @@ conditional_reset to find why step-only compiles ~15x slower
 (see exp_advanced_split.py)."""
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 

@@ -8,6 +8,10 @@ Output: docs/assets/h2h_adv64.{svg,json}
 """
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 from pathlib import Path
 

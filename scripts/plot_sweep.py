@@ -6,6 +6,10 @@ Usage: python scripts/plot_sweep.py --tags adv256_lr1e3 adv256_ent05 ... \
 """
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 from pathlib import Path

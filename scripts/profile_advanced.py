@@ -6,6 +6,10 @@ Times, per step at N envs of SIZE^2:
   b) fused CA kernel alone
   c) obs pipeline alone (build_observation_on_extensions + rgb)
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -8,6 +8,10 @@ see .claude/skills/verify/SKILL.md):
   c) per-env key derivation alone (threefry)
   d) epilogue-only (everything except kernel+derive)
 """
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -7,6 +7,10 @@ Produces docs/assets/ppo_curve_<tag>.{json,svg} in the BASELINE.md format.
 """
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -17,6 +17,10 @@ Exit code 0 + "PASS" lines on success.  Record output in docs/STATUS.md.
 
 from __future__ import annotations
 
+# allow running as `python scripts/<name>.py` without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import jax
